@@ -1,0 +1,108 @@
+"""Headline benchmark: supervised U2GNN training throughput, edges/s/chip.
+
+The driver-defined north-star metric (BASELINE.json) is edges/s/chip on
+REDDITMULTI5K-scale batches.  The REDDIT text files are stripped from the
+reference checkout (``dataset/.MISSING_LARGE_BLOBS``), so the workload is a
+synthetic power-law dataset with REDDITMULTI5K statistics (~509 nodes/graph,
+constant 4-dim features — see ``data/tu.py:synthetic_powerlaw_dataset``).
+
+Measured: full training steps — on-device neighborhood resampling + forward
++ backward + Adam — on the default JAX device (one TPU chip under the
+driver).  ``vs_baseline`` is the ratio to the reference implementation's
+throughput on the same workload, measured by
+``scripts/bench_torch_reference.py`` (PyTorch CPU: the reference is
+cuda-if-available-else-cpu, single-device only — it has no TPU or multi-chip
+path at all).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# Reference throughput on this box (2-CPU, torch 2.x): 3,894 edges/s,
+# measured 2026-08-17 via scripts/bench_torch_reference.py — intended (TF)
+# neighborhood-attention semantics, batch 4, K=8, T=4, ff 1024.  See
+# BASELINE.md.  (The PyTorch reference's accidental node-axis attention is
+# O(N²) in batch nodes and did not finish a single step at this scale.)
+REFERENCE_EDGES_PER_S = float(os.environ.get("GT_REF_EDGES_PER_S", "3894"))
+
+BATCH, K, T, FF = 16, 8, 4, 1024
+WARMUP, STEPS = 3, 20
+
+
+def main():
+    import jax
+
+    from graph_transformer_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from graph_transformer_tpu.data.tu import synthetic_powerlaw_dataset
+    from graph_transformer_tpu.train.sup_trainer import SupTrainer
+
+    ds = synthetic_powerlaw_dataset(
+        "REDDITMULTI5K-like", num_graphs=64, mean_nodes=509, seed=0
+    )
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=BATCH, num_neighbors=K),
+        model=ModelConfig(
+            num_timesteps=T,
+            num_hidden_layers=1,
+            ff_hidden_size=FF,
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(num_epochs=1),
+    )
+    # fixed split: all graphs trainable (throughput measurement, not accuracy)
+    trainer = SupTrainer(
+        ds, cfg, train_idx=np.arange(ds.num_graphs), test_idx=np.arange(8)
+    )
+
+    # one fixed batch skeleton; neighborhoods resample on device every step
+    batch = trainer.builder.sample()
+    edges_per_step = float(np.asarray(batch.edge_mask).sum())
+
+    import jax.random as jr
+
+    key = jr.key(0)
+    params, opt_state = trainer.params, trainer.opt_state
+    for _ in range(WARMUP):
+        key, sub = jr.split(key)
+        params, opt_state, loss = trainer._train_step(
+            params, opt_state, batch, sub, trainer.csr
+        )
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        key, sub = jr.split(key)
+        params, opt_state, loss = trainer._train_step(
+            params, opt_state, batch, sub, trainer.csr
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_s = edges_per_step * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sup_u2gnn_train_throughput_redditm5k_like",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

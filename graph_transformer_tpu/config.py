@@ -1,0 +1,116 @@
+"""Typed configuration tree.
+
+The reference threads a mutable, untyped ``Namespace`` dict-bag through every
+loader/trainer and mutates it in place (reference: ``U2GNN_pytorch/util.py:36-41``,
+``train_utils.py:126-133``).  Here the configuration is one frozen dataclass
+tree; anything derived from data (feature dim, vocab size, padded shapes) lives
+on the dataset/batch objects instead of being written back into the config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset + batching options.
+
+    Mirrors the CLI surface of the reference trainers
+    (``train_pytorch_U2GNN_Sup.py:24-39``).
+    """
+
+    dataset: str = "MUTAG"
+    data_dir: Optional[str] = None  # default: $GT_TPU_DATA or /root/reference/dataset
+    degree_as_tag: bool = False  # forced on for COLLAB/IMDB* by loaders
+    fold_idx: int = 0
+    batch_size: int = 4
+    num_neighbors: int = 8  # fanout K; neighborhood length is K+1 (self at slot 0)
+    # Padding: node-axis bucket multiple. Static shapes keep XLA from recompiling.
+    pad_multiple: int = 128
+    # REDDIT feature rule: constant 4-dim features scaled by 0.01
+    # (reference: train_pytorch_U2GNN_Sup.py:55-56,93-95).
+    seed: int = 123
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """U2GNN-family model hyperparameters.
+
+    ``num_timesteps`` is T, the number of self-attention layers inside each
+    U2GNN layer; ``num_hidden_layers`` is k, the number of stacked U2GNN layers
+    (reference: ``train_pytorch_U2GNN_Sup.py:34-36``).
+    """
+
+    model: str = "u2gnn_sup"  # u2gnn_sup | u2gnn_unsup | gcn | gat | ml_u2gnn
+    ff_hidden_size: int = 1024
+    num_timesteps: int = 1
+    num_hidden_layers: int = 1
+    num_heads: int = 1  # reference uses nhead=1 throughout
+    dropout: float = 0.5
+    sampled_num: int = 512  # candidates for sampled softmax (unsup)
+    # Attention axis. "neighborhood" is the intended semantics (TF impl,
+    # model_U2GNN_Sup_multi.py:14-15). "node" reproduces the PyTorch axis quirk
+    # (pytorch_U2GNN_Sup.py:32-36 feeds [N, K+1, d] to a (S, B, E) encoder, so
+    # attention runs across the node axis) for activation-parity checks.
+    attention_axis: str = "neighborhood"
+    # Weight sharing across the T timesteps (Universal-Transformer recurrence,
+    # the TF implementation's semantics via tf.foldl:
+    # universal_transformer_modified_utils.py:251-252). False matches the
+    # PyTorch implementation (T independent TransformerEncoder layers).
+    share_timestep_weights: bool = False
+    # Loss head for unsupervised models: default (sampled softmax) | gae | contrastive
+    loss_type: str = "default"
+    # Sampled-softmax flavor: "reference" reproduces sampled_softmax.py:36-56
+    # (no expected-count correction); "tf" matches tf.nn.sampled_softmax_loss
+    # (subtract log expected count + accidental-hit masking), the clean
+    # semantics of model_U2GNN_Unsup_multi.py:56-58.
+    sampled_softmax_mode: str = "tf"
+    # Multilayer (multiplex) wrapper options (python_multi_layer_siamese_u2gnn.py)
+    ml_model_type: str = "siamese"  # siamese | multi
+    projection_dim: int = -1
+    label_smoothing: float = 0.1
+    # Compute dtype for the encoder matmuls (params stay float32).
+    compute_dtype: str = "float32"  # or "bfloat16"
+    use_pallas: bool = False  # fused Pallas neighborhood-attention kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh / sharding options (new capability; the reference is
+    single-process single-device, SURVEY.md §2.3)."""
+
+    data_axis: int = 1  # number of data-parallel shards (graphs/nodes)
+    model_axis: int = 1  # reserved for tensor parallelism of ff layers
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule, matching the reference trainer semantics:
+    Adam + global-norm clip 0.5 + StepLR(gamma=0.1) stepped when the epoch
+    loss exceeds the mean of the previous five
+    (``train_pytorch_U2GNN_Sup.py:145-160,209-210``)."""
+
+    learning_rate: float = 5e-4
+    num_epochs: int = 50
+    grad_clip_norm: float = 0.5
+    lr_decay_gamma: float = 0.1
+    plateau_window: int = 5
+    eval_every: int = 1
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # epochs; 0 = disabled
+    seed: int = 123
+    on_device_sampling: bool = True  # neighbor fanout sampling inside the jitted step
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,113 @@
+"""Supervised U2GNN: graph classification.
+
+Capability parity with ``U2GNN_pytorch/pytorch_U2GNN_Sup.py`` (and the TF
+twin ``model_U2GNN_Sup_multi.py``): k stacked U2GNN layers, each a T-step
+transformer encoder over sampled neighborhoods; after each layer the updated
+self vectors are re-gathered as the next layer's neighborhood features
+(``pytorch_U2GNN_Sup.py:39``); per-layer graph sum-pooling feeds a per-layer
+dropout + Linear head and the final prediction is the **sum of per-layer
+scores** (``pytorch_U2GNN_Sup.py:30-46``).
+
+TPU notes: the whole forward is static-shape on a padded batch; pooling is a
+segment-sum (no sparse matrices); the K+1 neighborhood attention is batched
+over all nodes so the MXU sees [N_pad·(K+1), D]-scale matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graph_transformer_tpu.config import ModelConfig
+from graph_transformer_tpu.data.batching import GraphBatch
+from graph_transformer_tpu.ops.attention import (
+    TransformerEncoderParams,
+    init_encoder_params,
+    neighborhood_encoder,
+    _dropout,
+    _xavier,
+)
+from graph_transformer_tpu.ops.sparse import graph_sum_pool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class U2GNNSupParams:
+    encoders: Tuple[TransformerEncoderParams, ...]  # k U2GNN layers
+    head_w: jax.Array  # [k, D, C]
+    head_b: jax.Array  # [k, C]
+
+
+@dataclasses.dataclass(frozen=True)
+class U2GNNSup:
+    """Static model spec; parameters live in :class:`U2GNNSupParams`."""
+
+    feature_dim: int
+    num_classes: int
+    cfg: ModelConfig
+
+    def init(self, key: jax.Array) -> U2GNNSupParams:
+        k = self.cfg.num_hidden_layers
+        D, C = self.feature_dim, self.num_classes
+        stored_layers = 1 if self.cfg.share_timestep_weights else self.cfg.num_timesteps
+        encoders = tuple(
+            init_encoder_params(
+                jax.random.fold_in(key, i),
+                stored_layers,
+                D,
+                self.cfg.ff_hidden_size,
+            )
+            for i in range(k)
+        )
+        hw = jnp.stack(
+            [
+                _xavier(jax.random.fold_in(key, 1000 + i), (D, C))
+                for i in range(k)
+            ]
+        )
+        return U2GNNSupParams(
+            encoders=encoders, head_w=hw, head_b=jnp.zeros((k, C))
+        )
+
+    def apply(
+        self,
+        params: U2GNNSupParams,
+        batch: GraphBatch,
+        rng: Optional[jax.Array] = None,  # None => deterministic (eval)
+    ) -> jax.Array:
+        """Return prediction scores [B, C]."""
+        cfg = self.cfg
+        B = batch.num_graphs
+        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
+        neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]
+        scores = 0.0
+        for i, enc in enumerate(params.encoders):
+            if rng is not None:
+                rng, r_enc, r_drop = jax.random.split(rng, 3)
+            else:
+                r_enc = r_drop = None
+            out = neighborhood_encoder(
+                enc,
+                neigh_feat,
+                num_heads=cfg.num_heads,
+                # dropout inside the encoder is hardcoded 0.5 in the reference
+                # regardless of the --dropout flag (pytorch_U2GNN_Sup.py:20)
+                dropout_rate=0.5,
+                rng=r_enc,
+                axis=cfg.attention_axis,
+                num_timesteps=cfg.num_timesteps,
+                node_mask=batch.node_mask,
+            )  # [N_pad, D]
+            # re-gather updated self vectors as next layer's neighborhoods
+            neigh_feat = out[batch.neigh]
+            pooled = graph_sum_pool(
+                out.astype(jnp.float32) * batch.node_mask[:, None], batch.graph_id, B
+            )
+            if r_drop is not None:
+                pooled = _dropout(pooled, cfg.dropout, r_drop)
+            scores = scores + pooled @ params.head_w[i] + params.head_b[i]
+        return scores

@@ -1,0 +1,216 @@
+"""Unsupervised U2GNN: node embeddings via sampled softmax.
+
+Primary semantics are the TF implementation's (the clean path per SURVEY.md
+§3.2: the fork's PyTorch variant is broken at HEAD): k U2GNN layers with
+re-gathered self vectors between layers, per-layer outputs **concatenated**
+into [N, k·D], then a log-uniform sampled softmax over the node vocabulary
+with the node's own global index as the label
+(``model_U2GNN_Unsup_multi.py:44-58``).  The learned output-embedding matrix
+``W [V, k·D]`` is the node embedding used for evaluation
+(``train_U2GNN_Unsup.py:203-225``).
+
+Fork extensions are available as options:
+
+- ``head='cross_attention'``: stack per-layer outputs [N, k, D], run a
+  cross-layer MultiheadAttention, keep the last slot, multiply elementwise by
+  a learned ``weight [V, D]`` (``pytorch_U2GNN_UnSup.py:69-79``) — requires
+  the transductive whole-dataset batch (N_pad rows aligned to the vocab).
+- ``loss_type``: 'default' (sampled softmax), 'gae', 'contrastive'
+  (``pytorch_U2GNN_UnSup.py:81-89``).
+- ``regather=False``: the fork feeds the full neighborhood tensor to the next
+  layer instead of re-gathering (``pytorch_U2GNN_UnSup.py:57-58,62``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graph_transformer_tpu.config import ModelConfig
+from graph_transformer_tpu.data.batching import GraphBatch
+from graph_transformer_tpu.ops.attention import (
+    MHAParams,
+    TransformerEncoderParams,
+    init_encoder_params,
+    init_mha_params,
+    multihead_attention,
+    neighborhood_encoder,
+    transformer_encoder,
+    _dropout,
+)
+from graph_transformer_tpu.ops.losses import gae_loss, supcon_loss
+from graph_transformer_tpu.ops.sampled_softmax import (
+    SampledSoftmaxParams,
+    init_sampled_softmax_params,
+    sampled_softmax_loss,
+)
+from graph_transformer_tpu.sampling.log_uniform import LogUniformSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class U2GNNUnsupParams:
+    encoders: Tuple[TransformerEncoderParams, ...]
+    ss: SampledSoftmaxParams  # output embedding [V, k·D] (or [V, D] fork head)
+    cross_attn: Optional[MHAParams]  # fork cross-layer attention
+    weight: Optional[jax.Array]  # [V, D] fork node-embedding table
+
+
+@dataclasses.dataclass(frozen=True)
+class U2GNNUnsup:
+    feature_dim: int
+    vocab_size: int  # total node count (the sampled-softmax vocabulary)
+    cfg: ModelConfig
+    head: str = "concat"  # concat (TF clean) | cross_attention (fork)
+
+    @property
+    def embedding_dim(self) -> int:
+        if self.head == "concat":
+            return self.feature_dim * self.cfg.num_hidden_layers
+        return self.feature_dim
+
+    def spec(self) -> LogUniformSpec:
+        return LogUniformSpec.create(self.vocab_size, self.cfg.sampled_num)
+
+    def init(self, key: jax.Array) -> U2GNNUnsupParams:
+        cfg = self.cfg
+        D = self.feature_dim
+        stored = 1 if cfg.share_timestep_weights else cfg.num_timesteps
+        encoders = tuple(
+            init_encoder_params(
+                jax.random.fold_in(key, i), stored, D, cfg.ff_hidden_size
+            )
+            for i in range(cfg.num_hidden_layers)
+        )
+        ss = init_sampled_softmax_params(
+            jax.random.fold_in(key, 999), self.vocab_size, self.embedding_dim
+        )
+        cross_attn = None
+        weight = None
+        if self.head == "cross_attention":
+            cross_attn = init_mha_params(jax.random.fold_in(key, 998), D)
+            stdv = math.sqrt(6.0 / (self.vocab_size + D))
+            weight = jax.random.uniform(
+                jax.random.fold_in(key, 997),
+                (self.vocab_size, D),
+                jnp.float32,
+                -stdv,
+                stdv,
+            )
+        return U2GNNUnsupParams(
+            encoders=encoders, ss=ss, cross_attn=cross_attn, weight=weight
+        )
+
+    # ------------------------------------------------------------------ core
+    def encode(
+        self,
+        params: U2GNNUnsupParams,
+        batch: GraphBatch,
+        rng: Optional[jax.Array] = None,
+        regather: bool = True,
+    ) -> jax.Array:
+        """Per-node representation: [N_pad, k·D] (concat) or [N_pad, D]."""
+        cfg = self.cfg
+        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
+        neigh_feat = x[batch.neigh]
+        outs = []
+        for enc in params.encoders:
+            if rng is not None:
+                rng, r_enc = jax.random.split(rng)
+            else:
+                r_enc = None
+            if regather:
+                out = neighborhood_encoder(
+                    enc,
+                    neigh_feat,
+                    num_heads=cfg.num_heads,
+                    dropout_rate=0.5,
+                    rng=r_enc,
+                    axis=cfg.attention_axis,
+                    num_timesteps=cfg.num_timesteps,
+                    node_mask=batch.node_mask,
+                )
+                neigh_feat = out[batch.neigh]
+            else:
+                # fork variant: next layer consumes the full seq output
+                full = transformer_encoder(
+                    enc,
+                    neigh_feat,
+                    num_heads=cfg.num_heads,
+                    dropout_rate=0.5,
+                    rng=r_enc,
+                    num_timesteps=cfg.num_timesteps,
+                )
+                out = full[:, 0, :]
+                neigh_feat = full
+            outs.append(out.astype(jnp.float32))
+
+        if self.head == "concat":
+            return jnp.concatenate(outs, axis=-1)  # [N, k·D]
+        # fork head: cross-layer attention over the k layer outputs
+        stacked = jnp.stack(outs, axis=1)  # [N, k, D]
+        if rng is not None:
+            rng, r_mha = jax.random.split(rng)
+        else:
+            r_mha = None
+        attended = multihead_attention(
+            params.cross_attn, stacked, num_heads=1,
+            dropout_rate=cfg.dropout, rng=r_mha,
+        )
+        return attended[:, -1, :]  # last slot (pytorch_U2GNN_UnSup.py:72-73)
+
+    def loss(
+        self,
+        params: U2GNNUnsupParams,
+        batch: GraphBatch,
+        key: jax.Array,
+        spec: LogUniformSpec,
+        rng: Optional[jax.Array] = None,
+        adj_mask: Optional[jax.Array] = None,  # [N, N] for contrastive
+    ) -> jax.Array:
+        """Scalar training loss (sum of per-node sampled-softmax logits, the
+        reference's objective ``loss = torch.sum(logits)``,
+        ``train_pytorch_U2GNN_UnSup.py:155-156``)."""
+        cfg = self.cfg
+        z = self.encode(params, batch, rng=rng)
+        if cfg.loss_type == "default":
+            if rng is not None:
+                rng, r_drop = jax.random.split(rng)
+                z = _dropout(z, cfg.dropout, r_drop)
+            per_node = sampled_softmax_loss(
+                params.ss,
+                key,
+                z,
+                batch.node_gidx,
+                spec,
+                mode=cfg.sampled_softmax_mode,
+                mask=batch.node_mask,
+            )
+            return jnp.sum(per_node)
+        if cfg.loss_type == "contrastive":
+            if adj_mask is None:
+                raise ValueError("contrastive loss needs adj_mask")
+            emb = params.weight if params.weight is not None else z
+            return supcon_loss(emb, mask=adj_mask, valid=batch.node_mask)
+        if cfg.loss_type == "gae":
+            emb = params.weight if params.weight is not None else z
+            if adj_mask is None:
+                raise ValueError("gae loss needs adj_mask (target adjacency)")
+            n_real = jnp.sum(batch.node_mask)
+            n_pos = jnp.sum(adj_mask)
+            norm = (n_real * n_real) / jnp.maximum(
+                2.0 * (n_real * n_real - n_pos), 1.0
+            )
+            return gae_loss([emb], adj_mask[:, :, None], norm)
+        raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+    def node_embeddings(self, params: U2GNNUnsupParams) -> jax.Array:
+        """The evaluation embedding table: the sampled-softmax output matrix
+        (``train_pytorch_U2GNN_UnSup.py:168``, TF ``W:0``)."""
+        if self.head == "cross_attention" and params.weight is not None:
+            return params.weight
+        return params.ss.weight

@@ -1,0 +1,107 @@
+"""Sparse gather/scatter substrate: pooling, SpMM, SDDMM, edge softmax.
+
+The reference materializes sparse structure as ``torch.sparse`` matrices
+(graph_pool: ``train_pytorch_U2GNN_Sup.py:73-89``; GCN ``spmm``:
+``layers.py:38-44``) and — worse — a dense ``N×N`` attention matrix for GAT
+(``layers.py:80-88``).  On TPU the idiomatic substrate is segment reductions
+over padded edge lists: XLA lowers ``segment_sum`` to efficient scatters and
+fuses the surrounding elementwise work, and every shape is static.
+
+All functions are mask-aware: padding edges carry ``edge_mask == 0`` and
+padding nodes ``node_mask == 0``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def graph_sum_pool(
+    node_vec: jax.Array,  # [N_pad, D]
+    graph_id: jax.Array,  # [N_pad] i32, padding rows -> num_graphs
+    num_graphs: int,
+) -> jax.Array:
+    """Graph-level sum pooling: [B, D].
+
+    Replaces the sparse graph_pool matmul (``torch.spmm(graph_pool, ...)``,
+    ``pytorch_U2GNN_Sup.py:41``) with a segment sum; padding rows land in the
+    extra segment ``B`` and are sliced off.
+    """
+    pooled = jax.ops.segment_sum(
+        node_vec, graph_id, num_segments=num_graphs + 1
+    )
+    return pooled[:num_graphs]
+
+
+def spmm(
+    edge_src: jax.Array,  # [E_pad] i32
+    edge_dst: jax.Array,  # [E_pad] i32
+    edge_val: jax.Array,  # [E_pad] f32 (0 on padding)
+    x: jax.Array,  # [N_pad, D]
+    num_nodes: int,
+) -> jax.Array:
+    """y[dst] += val * x[src] — sparse A @ X with A given as COO edges.
+
+    The GCN aggregation ``spmm(adj, X @ W)`` of ``layers.py:38-44`` maps here
+    with ``edge_val`` the normalized adjacency weights.
+    """
+    msg = x[edge_src] * edge_val[:, None]
+    return jax.ops.segment_sum(msg, edge_dst, num_segments=num_nodes)
+
+
+def gcn_norm_edges(
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+    add_self_loops: bool = True,
+):
+    """Symmetric GCN normalization D^-1/2 (A + I) D^-1/2 as edge values.
+
+    Returns (src, dst, val) with self-loop edges appended (so the output edge
+    arrays have length E_pad + N_pad).  Degree counts use the mask, so padding
+    edges contribute nothing.  Matches the Kipf normalization used by the
+    reference's GCN baselines (``gcn_baseline/train_unsup_gcn.py:53-72``).
+    """
+    deg = jax.ops.segment_sum(edge_mask, edge_dst, num_segments=num_nodes)
+    if add_self_loops:
+        deg = deg + 1.0
+        loop = jnp.arange(num_nodes, dtype=edge_src.dtype)
+        edge_src = jnp.concatenate([edge_src, loop])
+        edge_dst = jnp.concatenate([edge_dst, loop])
+        edge_mask = jnp.concatenate([edge_mask, jnp.ones(num_nodes, edge_mask.dtype)])
+    dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+    val = dinv[edge_src] * dinv[edge_dst] * edge_mask
+    return edge_src, edge_dst, val
+
+
+def edge_softmax(
+    scores: jax.Array,  # [E_pad] raw edge scores
+    edge_dst: jax.Array,  # [E_pad] i32 — softmax normalizes over incoming edges
+    edge_mask: jax.Array,  # [E_pad]
+    num_nodes: int,
+) -> jax.Array:
+    """Numerically-stable per-destination softmax over edges.
+
+    This is the sparse rebuild of the reference GAT's dense ``N×N`` matrix
+    filled with ``-1e20`` then row-softmaxed (``layers.py:83-85``): a
+    segment-max subtraction followed by a segment-sum normalization.
+    """
+    neg = jnp.asarray(-1e30, scores.dtype)
+    masked = jnp.where(edge_mask > 0, scores, neg)
+    smax = jax.ops.segment_max(masked, edge_dst, num_segments=num_nodes)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    ex = jnp.exp(masked - smax[edge_dst]) * edge_mask
+    denom = jax.ops.segment_sum(ex, edge_dst, num_segments=num_nodes)
+    return ex / jnp.maximum(denom[edge_dst], 1e-16)
+
+
+def sddmm_dot(
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    a: jax.Array,  # [N, D]
+    b: jax.Array,  # [N, D]
+) -> jax.Array:
+    """Per-edge dot products <a[src], b[dst]> (sampled dense-dense matmul)."""
+    return jnp.sum(a[edge_src] * b[edge_dst], axis=-1)

@@ -1,0 +1,18 @@
+from graph_transformer_tpu.train.optim import make_optimizer, plateau_lr_step
+from graph_transformer_tpu.train.sup_trainer import SupTrainer, train_evaluate_sup
+from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer, train_evaluate_unsup
+from graph_transformer_tpu.train.evaluate import (
+    logistic_regression_probe,
+    tenfold_logistic_accuracy,
+)
+
+__all__ = [
+    "make_optimizer",
+    "plateau_lr_step",
+    "SupTrainer",
+    "train_evaluate_sup",
+    "UnsupTrainer",
+    "train_evaluate_unsup",
+    "logistic_regression_probe",
+    "tenfold_logistic_accuracy",
+]

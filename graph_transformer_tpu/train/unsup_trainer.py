@@ -1,0 +1,140 @@
+"""Unsupervised (node-embedding) trainer.
+
+Semantics of the clean reference path (``U2GNN_tf/train_U2GNN_Unsup.py`` +
+``train_pytorch_U2GNN_UnSup.py``): transductive training over ALL graphs
+(``README.md:53``), per step a random subset of graphs whose nodes become
+sampled-softmax examples with their own global index as label
+(``input_y``, ``train_pytorch_U2GNN_UnSup.py:126``), objective
+``loss = Σ per-node sampled-softmax`` (``:155-156``), evaluation by
+sum-pooling the learned output-embedding matrix to graph level and fitting
+10-fold logistic regression (``:164-188``).
+
+On TPU, candidate sampling + neighbor resampling both happen inside the
+jitted step; the host only chooses graph ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_transformer_tpu.config import ExperimentConfig
+from graph_transformer_tpu.data.batching import BatchBuilder, GraphBatch
+from graph_transformer_tpu.data.tu import GraphDataset
+from graph_transformer_tpu.models.u2gnn_unsup import U2GNNUnsup
+from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.train.evaluate import (
+    pool_node_embeddings,
+    tenfold_logistic_accuracy,
+)
+from graph_transformer_tpu.train.optim import (
+    make_optimizer,
+    plateau_lr_step,
+    set_lr_scale,
+)
+
+
+class UnsupTrainer:
+    def __init__(self, ds: GraphDataset, cfg: ExperimentConfig):
+        self.ds = ds
+        self.cfg = cfg
+        self.builder = BatchBuilder(
+            ds,
+            batch_size=cfg.data.batch_size,
+            num_neighbors=cfg.data.num_neighbors,
+            pad_multiple=cfg.data.pad_multiple,
+            seed=cfg.data.seed,
+        )
+        self.model = U2GNNUnsup(ds.feature_dim, ds.num_nodes, cfg.model)
+        self.spec = self.model.spec()
+        self.params = self.model.init(jax.random.key(cfg.train.seed))
+        self.opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
+        self.opt_state = self.opt.init(self.params)
+        self.csr = DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
+        self._key = jax.random.key(cfg.train.seed + 1)
+        self.epoch_losses: List[float] = []
+        self.lr_scale = 1.0
+        self.num_batches_per_epoch = max(
+            1, (ds.num_graphs + cfg.data.batch_size - 1) // cfg.data.batch_size
+        )
+
+        model, opt, spec = self.model, self.opt, self.spec
+        on_dev = cfg.train.on_device_sampling
+        K = cfg.data.num_neighbors
+        total_nodes = ds.num_nodes
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _train_step(params, opt_state, batch: GraphBatch, key, csr):
+            k_samp, k_cand, k_drop = jax.random.split(key, 3)
+            if on_dev:
+                neigh = resample_batch_neighbors(
+                    k_samp, csr, batch.node_gidx, batch.node_mask, K, total_nodes
+                )
+                batch = dataclasses.replace(batch, neigh=neigh)
+
+            def loss_fn(p):
+                return model.loss(p, batch, k_cand, spec, rng=k_drop)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+        self._train_step = _train_step
+
+    def train_epoch(self) -> float:
+        total = 0.0
+        for _ in range(self.num_batches_per_epoch):
+            batch = self.builder.sample()
+            self._key, sub = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, batch, sub, self.csr
+            )
+            total += float(loss)
+        self.epoch_losses.append(total)
+        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
+            self.lr_scale *= self.cfg.train.lr_decay_gamma
+            self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
+        return total
+
+    def evaluate(self) -> tuple:
+        """(mean, std) 10-fold logistic accuracy of pooled graph embeddings."""
+        emb = np.asarray(self.model.node_embeddings(self.params))
+        graph_emb = pool_node_embeddings(emb, self.ds.graph_offsets)
+        return tenfold_logistic_accuracy(graph_emb, self.ds.labels)
+
+
+def train_evaluate_unsup(
+    ds: GraphDataset, cfg: ExperimentConfig, log_fn=print
+) -> Dict[str, object]:
+    trainer = UnsupTrainer(ds, cfg)
+    history = []
+    best_mean, best_std = 0.0, 0.0
+    for epoch in range(1, cfg.train.num_epochs + 1):
+        t0 = time.time()
+        loss = trainer.train_epoch()
+        if epoch % cfg.train.eval_every == 0:
+            mean, std = trainer.evaluate()
+        else:
+            mean, std = float("nan"), float("nan")
+        if mean == mean and mean > best_mean:
+            best_mean, best_std = mean, std
+        dt = time.time() - t0
+        history.append(
+            {"epoch": epoch, "loss": loss, "acc_mean": mean, "acc_std": std, "sec": dt}
+        )
+        log_fn(
+            f"epoch {epoch:03d} | loss {loss:12.2f} | acc {mean:.4f}±{std:.4f} | {dt:.2f}s"
+        )
+    return {
+        "history": history,
+        "best_mean": best_mean,
+        "best_std": best_std,
+        "trainer": trainer,
+    }

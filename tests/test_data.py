@@ -1,0 +1,126 @@
+"""Golden-file loader tests against the in-repo TU datasets.
+
+Expected counts come from the dataset file headers and the reference loader's
+printouts (``util.py:152-156``: "# classes", "# maximum node tag", "# data").
+"""
+
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.data.batching import BatchBuilder, whole_dataset_batch
+from graph_transformer_tpu.data.splits import separate_data_idx, stratified_kfold_indices
+from graph_transformer_tpu.data.tu import load_tu_dataset, synthetic_powerlaw_dataset
+
+
+def test_mutag_shapes(mutag):
+    # MUTAG: 188 graphs, 2 classes, 7 node-tag values, 3371 nodes
+    assert mutag.num_graphs == 188
+    assert mutag.num_classes == 2
+    assert mutag.feature_dim == 7
+    assert mutag.num_nodes == 3371
+    # one-hot features: each row sums to 1
+    np.testing.assert_allclose(mutag.node_feat.sum(axis=1), 1.0)
+
+
+def test_mutag_adjacency_symmetric(mutag):
+    src, dst = mutag.edge_arrays()
+    fwd = set(zip(src.tolist(), dst.tolist()))
+    assert all((d, s) in fwd for s, d in fwd), "directed edges must be paired"
+    # no self loops in the TU data
+    assert not np.any(src == dst)
+
+
+def test_graph_of_node(mutag):
+    g = mutag.graph_of_node
+    for gid in (0, 50, 187):
+        lo, hi = mutag.graph_offsets[gid], mutag.graph_offsets[gid + 1]
+        assert np.all(g[lo:hi] == gid)
+
+
+def test_neighbors_stay_within_graph(mutag):
+    src, dst = mutag.edge_arrays()
+    g = mutag.graph_of_node
+    assert np.all(g[src] == g[dst])
+
+
+def test_ptc_shapes(ptc):
+    assert ptc.num_graphs == 344
+    assert ptc.num_classes == 2
+    assert ptc.feature_dim == 19  # node-tag vocabulary of PTC
+
+
+def test_stratified_folds(mutag):
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)
+    assert len(folds) == 10
+    all_test = np.concatenate([te for _, te in folds])
+    assert sorted(all_test.tolist()) == list(range(mutag.num_graphs))
+    tr, te = separate_data_idx(mutag.labels, 3)
+    assert len(np.intersect1d(tr, te)) == 0
+    # stratification: class ratio in each fold close to global
+    global_ratio = mutag.labels.mean()
+    for _, te in folds:
+        assert abs(mutag.labels[te].mean() - global_ratio) < 0.15
+
+
+def test_batch_builder_shapes(mutag, rng):
+    bb = BatchBuilder(mutag, batch_size=8, num_neighbors=4, seed=0)
+    b = bb.build(np.arange(8))
+    assert b.x.shape[0] == b.neigh.shape[0] == bb.n_pad
+    assert b.neigh.shape[1] == 5
+    assert b.labels.shape == (8,)
+    n_real = int(b.node_mask.sum())
+    assert n_real == int(mutag.graph_num_nodes[:8].sum())
+    # self at slot 0
+    np.testing.assert_array_equal(
+        np.asarray(b.neigh)[:n_real, 0], np.arange(n_real)
+    )
+    # graph ids: padding gets B
+    assert np.all(np.asarray(b.graph_id)[n_real:] == 8)
+    # neighbors are batch-local and within bounds
+    assert np.asarray(b.neigh).max() < bb.n_pad
+    # edges: masked edges match real edge count
+    e_real = int(np.asarray(b.edge_mask).sum())
+    src, dst = mutag.edge_arrays()
+    g = mutag.graph_of_node
+    assert e_real == int(np.sum(g[src] < 8))
+
+
+def test_batch_neighbor_sampling_semantics(mutag, rng):
+    """Sampled neighbors must be true graph neighbors (or self for isolated)."""
+    bb = BatchBuilder(mutag, batch_size=4, num_neighbors=8, seed=1)
+    b = bb.build([0, 1, 2, 3])
+    n_real = int(b.node_mask.sum())
+    neigh = np.asarray(b.neigh)[:n_real]
+    gidx = np.asarray(b.node_gidx)[:n_real]
+    for v in range(0, n_real, 7):
+        s, e = mutag.nbr_offsets[gidx[v]], mutag.nbr_offsets[gidx[v] + 1]
+        allowed = set(mutag.nbr_ids[s:e].tolist()) | {gidx[v]}
+        got_global = gidx[neigh[v]]
+        assert set(got_global.tolist()) <= allowed
+
+
+def test_whole_dataset_batch(mutag):
+    b = whole_dataset_batch(mutag, num_neighbors=4)
+    assert int(b.node_mask.sum()) == mutag.num_nodes
+    np.testing.assert_array_equal(
+        np.asarray(b.node_gidx)[: mutag.num_nodes], np.arange(mutag.num_nodes)
+    )
+
+
+def test_eval_batches_cover_all(mutag):
+    bb = BatchBuilder(mutag, batch_size=16, num_neighbors=4, seed=0)
+    idx = np.arange(50)
+    seen = 0
+    for batch, n_real in bb.eval_batches(idx):
+        seen += n_real
+    assert seen == 50
+
+
+def test_synthetic_powerlaw():
+    ds = synthetic_powerlaw_dataset(num_graphs=16, mean_nodes=50, seed=0)
+    assert ds.num_graphs == 16
+    deg = ds.degrees
+    assert deg.max() > 2 * np.median(deg)  # heavy tail
+    src, dst = ds.edge_arrays()
+    g = ds.graph_of_node
+    assert np.all(g[src] == g[dst])

@@ -1,0 +1,59 @@
+"""Trainer integration tests (fast configs)."""
+
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.train.optim import plateau_lr_step
+from graph_transformer_tpu.train.sup_trainer import SupTrainer
+from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
+
+
+def _cfg(**kw):
+    return ExperimentConfig(
+        data=DataConfig(dataset="MUTAG", batch_size=16, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1, ff_hidden_size=32,
+                          sampled_num=32),
+        train=TrainConfig(num_epochs=3, **kw),
+    )
+
+
+def test_plateau_rule():
+    assert not plateau_lr_step([5, 4, 3, 2, 1], window=5)  # too short
+    assert plateau_lr_step([5, 4, 3, 2, 1, 9], window=5)
+    assert not plateau_lr_step([5, 4, 3, 2, 1, 0.5], window=5)
+
+
+def test_sup_trainer_loss_decreases(mutag):
+    t = SupTrainer(mutag, _cfg())
+    l0 = t.train_epoch()
+    for _ in range(3):
+        l1 = t.train_epoch()
+    assert l1 < l0
+    acc = t.evaluate()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_sup_trainer_host_sampling_path(mutag):
+    t = SupTrainer(mutag, _cfg(on_device_sampling=False))
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+
+
+def test_unsup_trainer_runs_and_evaluates(mutag):
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset="MUTAG", batch_size=32, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=32, sampled_num=32),
+        train=TrainConfig(num_epochs=1, learning_rate=1e-4),
+    )
+    t = UnsupTrainer(mutag, cfg)
+    l0 = t.train_epoch()
+    assert np.isfinite(l0)
+    mean, std = t.evaluate()
+    assert 0.3 <= mean <= 1.0
