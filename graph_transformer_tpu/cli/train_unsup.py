@@ -1,0 +1,90 @@
+"""Unsupervised U2GNN node-embedding CLI.
+
+Command-line parity with ``train_pytorch_U2GNN_UnSup.py`` (README commands at
+``README.md:49-51``): transductive training over all graphs, per-epoch 10-fold
+logistic-regression evaluation of pooled embeddings, ``model_acc.txt`` output;
+plus Orbax checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from graph_transformer_tpu.cli.common import base_parser, config_from_args
+from graph_transformer_tpu.data.tu import load_tu_dataset
+from graph_transformer_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
+
+
+def main(argv=None):
+    parser = base_parser("TPU-native U2GNN unsupervised node embeddings")
+    parser.add_argument(
+        "--sampled_softmax_mode", default="tf", choices=["tf", "reference"],
+        help="'tf' = tf.nn.sampled_softmax_loss semantics; 'reference' = the "
+             "PyTorch fork's NCE variant",
+    )
+    args = parser.parse_args(argv)
+    import dataclasses as _dc
+
+    cfg = config_from_args(args)
+    cfg = cfg.replace(
+        model=_dc.replace(cfg.model, sampled_softmax_mode=args.sampled_softmax_mode)
+    )
+    model_name = args.model_name or f"{args.dataset}_unsup"
+    out_dir = os.path.join(args.run_folder, model_name)
+    os.makedirs(out_dir, exist_ok=True)
+    acc_path = os.path.join(out_dir, "model_acc.txt")
+
+    ds = load_tu_dataset(
+        cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir
+    )
+    print(f"# data: {ds.num_graphs} graphs, {ds.num_nodes} nodes (vocab), "
+          f"{ds.num_classes} classes")
+    trainer = UnsupTrainer(ds, cfg)
+
+    start_epoch = 1
+    ckpt_dir = cfg.train.checkpoint_dir or os.path.join(out_dir, "checkpoints")
+    if args.resume:
+        path = latest_checkpoint(ckpt_dir)
+        if path:
+            trainer.params, trainer.opt_state, extra = restore_checkpoint(
+                path, trainer.params, trainer.opt_state
+            )
+            if extra:
+                start_epoch = int(extra.get("epoch", 0)) + 1
+                trainer.epoch_losses = list(extra.get("losses", []))
+            print(f"# resumed from {path} at epoch {start_epoch}")
+
+    best_mean, best_std = 0.0, 0.0
+    for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+        t0 = time.time()
+        loss = trainer.train_epoch()
+        if epoch % cfg.train.eval_every == 0:
+            mean, std = trainer.evaluate()
+        else:
+            mean, std = float("nan"), float("nan")
+        if mean == mean and mean > best_mean:
+            best_mean, best_std = mean, std
+        dt = time.time() - t0
+        print(f"epoch {epoch:03d} | loss {loss:12.2f} | "
+              f"10-fold acc {mean:.5f} ± {std:.5f} | {dt:.2f}s")
+        with open(acc_path, "a") as f:
+            f.write(f"{epoch}\t{mean:.5f}\t{std:.5f}\n")
+        if cfg.train.checkpoint_every and epoch % cfg.train.checkpoint_every == 0:
+            save_checkpoint(
+                ckpt_dir, epoch, trainer.params, trainer.opt_state,
+                {"epoch": epoch, "losses": np.asarray(trainer.epoch_losses)},
+            )
+    print(f"best: {best_mean:.5f} ± {best_std:.5f}")
+    return best_mean, best_std
+
+
+if __name__ == "__main__":
+    main()

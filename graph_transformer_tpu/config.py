@@ -23,7 +23,8 @@ class DataConfig:
 
     dataset: str = "MUTAG"
     data_dir: Optional[str] = None  # default: $GT_TPU_DATA or /root/reference/dataset
-    degree_as_tag: bool = False  # forced on for COLLAB/IMDB* by loaders
+    # None = auto (forced on for COLLAB/IMDB* as in the reference)
+    degree_as_tag: Optional[bool] = None
     fold_idx: int = 0
     batch_size: int = 4
     num_neighbors: int = 8  # fanout K; neighborhood length is K+1 (self at slot 0)

@@ -45,12 +45,13 @@ class MultiplexBatch:
 
     ``neigh`` is the stacked per-view neighborhoods ``[S, N, K+1]`` (the
     reference's ``input_x[n, K+1, S]``, ``ml_node_train_utils.py:199-206``,
-    transposed view-major so each view is contiguous); ``adj`` is the dense
-    per-view adjacency stack ``[N, N, S]`` used as the contrastive mask / GAE
-    target.
+    transposed view-major so each view is contiguous); ``x`` carries per-view
+    features ``[S, N, D]`` (the reference's ``X[n, d, S]``); ``adj`` is the
+    dense per-view adjacency stack ``[N, N, S]`` used as the contrastive mask
+    / GAE target.
     """
 
-    x: jax.Array  # [N, D] node features (shared across views)
+    x: jax.Array  # [S, N, D] per-view node features
     neigh: jax.Array  # [S, N, K+1] i32 per-view neighborhoods, slot 0 = self
     adj: jax.Array  # [N, N, S] f32 per-view adjacency (loss mask/target)
     node_mask: jax.Array  # [N] f32
@@ -61,7 +62,7 @@ class MultiplexBatch:
 
     @property
     def num_nodes(self) -> int:
-        return self.x.shape[0]
+        return self.x.shape[1]
 
 
 @jax.tree_util.register_dataclass
@@ -129,13 +130,15 @@ class MultilayerU2GNN:
         """Cross-view node embeddings [N, D] (or [N, P] with projection)."""
         cfg = self.cfg
         S, N, K1 = batch.neigh.shape
-        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
+        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))  # [S, N, D]
 
         if self.siamese:
             # Fold the view axis into the node axis: one [S·N, K+1, D] encoder
             # call — the MXU sees one big batch instead of S small ones.
-            neigh_flat = batch.neigh.reshape(S * N, K1)
-            feat = x[neigh_flat]  # [S·N, K+1, D]
+            # Per-view-local neighbor ids shift by s·N into the flat table.
+            offsets = (jnp.arange(S, dtype=jnp.int32) * N)[:, None, None]
+            neigh_flat = (batch.neigh + offsets).reshape(S * N, K1)
+            feat = x.reshape(S * N, -1)[neigh_flat]  # [S·N, K+1, D]
             if rng is not None:
                 rng, r = jax.random.split(rng)
             else:
@@ -154,7 +157,7 @@ class MultilayerU2GNN:
         else:
             outs = []
             for s in range(S):
-                feat = x[batch.neigh[s]]  # [N, K+1, D]
+                feat = x[s][batch.neigh[s]]  # [N, K+1, D]
                 if rng is not None:
                     rng, r = jax.random.split(rng)
                 else:
@@ -230,7 +233,7 @@ class MultilayerU2GNN:
 
 
 def build_multiplex_batch(
-    x: np.ndarray,  # [N, D]
+    x: np.ndarray,  # [N, D] shared or [N, D, S] per-view features
     adj_stack: np.ndarray,  # [N, N, S] dense per-view adjacency
     num_neighbors: int,
     rng: np.random.Generator,
@@ -251,9 +254,23 @@ def build_multiplex_batch(
                 neigh[s, v, 1:] = rng.choice(nbrs, size=K, replace=True)
             else:
                 neigh[s, v, 1:] = v
+    x = np.asarray(x, np.float32)
+    if x.ndim == 2:
+        xs = np.stack([x] * S, axis=0)  # shared features across views
+    else:
+        xs = np.ascontiguousarray(np.moveaxis(x, 2, 0))  # [N,D,S] -> [S,N,D]
     return MultiplexBatch(
-        x=jnp.asarray(x, jnp.float32),
+        x=jnp.asarray(xs),
         neigh=jnp.asarray(neigh),
         adj=jnp.asarray(adj_stack, jnp.float32),
         node_mask=jnp.ones((N,), jnp.float32),
     )
+
+
+def batch_from_dataset(
+    ds, num_neighbors: int, rng: Optional[np.random.Generator] = None
+) -> MultiplexBatch:
+    """Build a transductive batch from a
+    :class:`~graph_transformer_tpu.data.multiplex.MultiplexDataset`."""
+    rng = rng or np.random.default_rng(0)
+    return build_multiplex_batch(ds.x, ds.adj, num_neighbors, rng)

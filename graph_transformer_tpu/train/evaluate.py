@@ -39,10 +39,11 @@ def logistic_regression_probe(
     y: np.ndarray,
     train_idx: np.ndarray,
     test_idx: np.ndarray,
-    solver: str = "liblinear",
+    solver: str = "lbfgs",
 ) -> float:
     """Accuracy of a logistic-regression classifier fit on the train split
-    (``train_utils.py:188-191``)."""
+    (``train_utils.py:188-191``; the reference's liblinear solver no longer
+    supports multiclass in current sklearn, so lbfgs is the default)."""
     if not _HAVE_SKLEARN:  # pragma: no cover
         raise RuntimeError("sklearn unavailable for the logistic probe")
     clf = LogisticRegression(solver=solver, tol=0.001, max_iter=200)
