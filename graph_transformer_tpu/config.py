@@ -63,6 +63,11 @@ class ModelConfig:
     share_timestep_weights: bool = False
     # Loss head for unsupervised models: default (sampled softmax) | gae | contrastive
     loss_type: str = "default"
+    # Negative-candidate source for loss_type='default':
+    # "default" = log-uniform vocabulary sampling (SampledSoftmax),
+    # "neighbor" = graph neighbors of the label node (SampledNeighbor,
+    # ``pytorch_U2GNN_UnSup.py:43-46`` dispatch).
+    sampler_type: str = "default"
     # Sampled-softmax flavor: "reference" reproduces sampled_softmax.py:36-56
     # (no expected-count correction); "tf" matches tf.nn.sampled_softmax_loss
     # (subtract log expected count + accidental-hit masking), the clean

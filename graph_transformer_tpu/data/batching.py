@@ -79,6 +79,7 @@ class BatchBuilder:
         pad_multiple: int = 128,
         seed: int = 123,
         indices: Optional[np.ndarray] = None,
+        backend: str = "auto",  # auto | native | numpy
     ):
         self.ds = ds
         self.batch_size = int(batch_size)
@@ -87,6 +88,17 @@ class BatchBuilder:
         self.indices = (
             np.arange(ds.num_graphs) if indices is None else np.asarray(indices)
         )
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from graph_transformer_tpu.native.batcher import (
+                    NativeBatchAssembler,
+                )
+
+                self._native = NativeBatchAssembler(ds)
+            except Exception:
+                if backend == "native":
+                    raise
 
         sizes = ds.graph_num_nodes
         deg = ds.degrees.astype(np.int64)
@@ -109,10 +121,29 @@ class BatchBuilder:
     def build(
         self, graph_indices: Sequence[int], rng: Optional[np.random.Generator] = None
     ) -> GraphBatch:
-        """Assemble one padded batch for the given graph ids (host, numpy)."""
+        """Assemble one padded batch for the given graph ids.
+
+        Uses the native C++ assembler when built (one pass, no numpy temp
+        churn; ``native/batcher.cpp``), else the vectorized numpy path."""
         ds = self.ds
         rng = rng or self.rng
         g = np.asarray(graph_indices, dtype=np.int64)
+        if self._native is not None:
+            out = self._native.assemble(
+                g, self.K, self.n_pad, self.e_pad,
+                seed=int(rng.integers(0, 2**63 - 1)),
+            )
+            return GraphBatch(
+                x=out["x"],
+                neigh=out["neigh"],
+                graph_id=out["graph_id"],
+                node_gidx=out["node_gidx"],
+                node_mask=out["node_mask"],
+                edge_src=out["edge_src"],
+                edge_dst=out["edge_dst"],
+                edge_mask=out["edge_mask"],
+                labels=ds.labels[g].astype(np.int32),
+            )
         B = len(g)
         sizes = ds.graph_num_nodes[g].astype(np.int64)
         starts = ds.graph_offsets[g]

@@ -171,6 +171,7 @@ class U2GNNUnsup:
         spec: LogUniformSpec,
         rng: Optional[jax.Array] = None,
         adj_mask: Optional[jax.Array] = None,  # [N, N] for contrastive
+        csr=None,  # DeviceCSR, required for sampler_type='neighbor'
     ) -> jax.Array:
         """Scalar training loss (sum of per-node sampled-softmax logits, the
         reference's objective ``loss = torch.sum(logits)``,
@@ -181,6 +182,18 @@ class U2GNNUnsup:
             if rng is not None:
                 rng, r_drop = jax.random.split(rng)
                 z = _dropout(z, cfg.dropout, r_drop)
+            if cfg.sampler_type == "neighbor":
+                if csr is None:
+                    raise ValueError("sampler_type='neighbor' needs csr")
+                from graph_transformer_tpu.ops.sampled_neighbor import (
+                    sampled_neighbor_loss,
+                )
+
+                per_node = sampled_neighbor_loss(
+                    params.ss, key, z, batch.node_gidx, csr,
+                    cfg.sampled_num, mask=batch.node_mask,
+                )
+                return jnp.sum(per_node)
             per_node = sampled_softmax_loss(
                 params.ss,
                 key,

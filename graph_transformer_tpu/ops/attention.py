@@ -272,3 +272,47 @@ def neighborhood_encoder(
         )
         return out[0, :, :]  # self column
     raise ValueError(f"unknown attention axis {axis!r}")
+
+
+# --------------------------------------------------------------------------
+# Vestigial "smaller" encoder layer (capability parity with
+# TransformerEncoderLayerSmaller, ``layers.py:96-176``: linear(d→ff) → relu →
+# self-attention in ff dims → dropout → +bias; no layer norm, no residual).
+# The reference constructs it but leaves it commented out in the UnSup model
+# (``pytorch_U2GNN_UnSup.py:31-36``); it is exposed here for experiments.
+# --------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SmallerEncoderLayerParams:
+    w_lin: jax.Array  # [D, F] xavier
+    b_lin: jax.Array  # [F]
+    attn: MHAParams  # attention over F-dim states
+    bias: jax.Array  # [F] (zeros init)
+
+
+def init_smaller_encoder_layer(
+    key: jax.Array, d_model: int, ff_hidden: int, dtype=jnp.float32
+) -> SmallerEncoderLayerParams:
+    k1, k2 = jax.random.split(key)
+    return SmallerEncoderLayerParams(
+        w_lin=_xavier(k1, (d_model, ff_hidden), dtype),
+        b_lin=jnp.zeros((ff_hidden,), dtype),
+        attn=init_mha_params(k2, ff_hidden, dtype),
+        bias=jnp.zeros((ff_hidden,), dtype),
+    )
+
+
+def smaller_encoder_layer(
+    p: SmallerEncoderLayerParams,
+    x: jax.Array,  # [B, S, D]
+    num_heads: int = 1,
+    dropout_rate: float = 0.5,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """[B, S, F] — semantics of ``TransformerEncoderLayerSmaller.forward``
+    (``layers.py:152-176``)."""
+    h = jax.nn.relu(x @ p.w_lin + p.b_lin)
+    out = multihead_attention(p.attn, h, num_heads=num_heads)
+    if rng is not None:
+        out = _dropout(out, dropout_rate, rng)
+    return out + p.bias

@@ -32,8 +32,14 @@ from graph_transformer_tpu.sampling.log_uniform import (
     LogUniformSpec,
     expected_count,
     log_uniform_probs,
+    sample_log_uniform_fast,
     sample_log_uniform_unique,
 )
+
+# Above this vocabulary size the exact Gumbel-top-k sampler (O(V) gumbels +
+# top_k over V) loses to the oversample-and-dedup sampler (O(M log M),
+# M = 4·nsampled); measured crossover on TPU v5e is well below 64k.
+_FAST_SAMPLER_VOCAB_THRESHOLD = 32_768
 
 
 @jax.tree_util.register_dataclass
@@ -65,7 +71,13 @@ def sampled_softmax_loss(
     mask: Optional[jax.Array] = None,  # [B] 1.0 for real rows
 ) -> jax.Array:
     """Per-example sampled-softmax losses [B] (padding rows zeroed via mask)."""
-    sample_ids = sample_log_uniform_unique(key, spec.vocab_size, spec.nsampled)
+    if spec.vocab_size > _FAST_SAMPLER_VOCAB_THRESHOLD:
+        sample_ids, cand_valid = sample_log_uniform_fast(
+            key, spec.vocab_size, spec.nsampled
+        )
+    else:
+        sample_ids = sample_log_uniform_unique(key, spec.vocab_size, spec.nsampled)
+        cand_valid = None
     true_w = params.weight[labels]  # [B, D]
     sample_w = params.weight[sample_ids]  # [S, D]
     true_dot = jnp.sum(inputs * true_w, axis=-1)  # [B]
@@ -73,6 +85,8 @@ def sampled_softmax_loss(
 
     if mode == "reference":
         # -log( exp(true) / Σ_s exp(sample) ) = logsumexp(sample) - true
+        if cand_valid is not None:
+            sample_dot = jnp.where(cand_valid[None, :], sample_dot, -jnp.inf)
         out = jax.nn.logsumexp(sample_dot, axis=-1) - true_dot
     elif mode == "tf":
         probs = log_uniform_probs(spec.vocab_size)
@@ -89,6 +103,10 @@ def sampled_softmax_loss(
         # accidental hits: candidate equals the example's own label
         hit = sample_ids[None, :] == labels[:, None]
         sample_logit = jnp.where(hit, sample_logit - 1e9, sample_logit)
+        if cand_valid is not None:  # unfilled fast-sampler slots
+            sample_logit = jnp.where(
+                cand_valid[None, :], sample_logit, -jnp.inf
+            )
         # softmax CE with the true class prepended as class 0
         all_logits = jnp.concatenate([true_logit[:, None], sample_logit], axis=1)
         out = jax.nn.logsumexp(all_logits, axis=-1) - true_logit

@@ -51,12 +51,20 @@ class UnsupTrainer:
             pad_multiple=cfg.data.pad_multiple,
             seed=cfg.data.seed,
         )
-        self.model = U2GNNUnsup(ds.feature_dim, ds.num_nodes, cfg.model)
+        if cfg.model.model == "gcn_unsup":
+            from graph_transformer_tpu.models.gcn_unsup_graphs import GCNGraphUnsup
+
+            self.model = GCNGraphUnsup(ds.feature_dim, ds.num_nodes, cfg.model)
+        else:
+            self.model = U2GNNUnsup(ds.feature_dim, ds.num_nodes, cfg.model)
         self.spec = self.model.spec()
         self.params = self.model.init(jax.random.key(cfg.train.seed))
         self.opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
         self.opt_state = self.opt.init(self.params)
-        self.csr = DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
+        need_csr = (
+            cfg.train.on_device_sampling or cfg.model.sampler_type == "neighbor"
+        )
+        self.csr = DeviceCSR.from_dataset(ds) if need_csr else None
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -79,7 +87,7 @@ class UnsupTrainer:
                 batch = dataclasses.replace(batch, neigh=neigh)
 
             def loss_fn(p):
-                return model.loss(p, batch, k_cand, spec, rng=k_drop)
+                return model.loss(p, batch, k_cand, spec, rng=k_drop, csr=csr)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

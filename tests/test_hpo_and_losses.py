@@ -1,0 +1,137 @@
+"""HPO harness, sampled-neighbor loss, unsup GCN baseline, prefetcher."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.data.batching import BatchBuilder, whole_dataset_batch
+from graph_transformer_tpu.exp.hpo import best_arm, optimize
+from graph_transformer_tpu.models.gcn_unsup_graphs import GCNGraphUnsup
+from graph_transformer_tpu.ops.sampled_neighbor import sampled_neighbor_loss
+from graph_transformer_tpu.ops.sampled_softmax import init_sampled_softmax_params
+from graph_transformer_tpu.sampling.neighbors import DeviceCSR
+from graph_transformer_tpu.train.prefetch import BatchPrefetcher
+from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
+
+
+def test_hpo_finds_optimum_of_known_function():
+    space = [
+        {"name": "x", "type": "range", "bounds": [-5.0, 5.0]},
+        {"name": "k", "type": "choice", "values": [1, 2, 3]},
+        {"name": "c", "type": "fixed", "value": 10},
+    ]
+
+    def f(p):
+        assert p["c"] == 10
+        return -((p["x"] - 2.0) ** 2) + p["k"]
+
+    best_params, best_value, trials = optimize(
+        space, f, total_trials=40, seed=0, log_fn=lambda *_: None
+    )
+    assert len(trials) == 40
+    assert abs(best_params["x"] - 2.0) < 1.0
+    assert best_params["k"] == 3
+    assert best_arm(trials)["objective"] == best_value
+
+
+def test_hpo_respects_int_range_and_log_scale():
+    space = [
+        {"name": "n", "type": "range", "bounds": [1, 6]},
+        {"name": "lr", "type": "range", "bounds": [1e-5, 1e-2],
+         "log_scale": True},
+    ]
+    seen_n = set()
+    def f(p):
+        assert isinstance(p["n"], int) and 1 <= p["n"] <= 6
+        assert 1e-5 <= p["lr"] <= 1e-2
+        seen_n.add(p["n"])
+        return 0.0
+    optimize(space, f, total_trials=20, seed=1, log_fn=lambda *_: None)
+    assert len(seen_n) >= 4  # coverage of the integer range
+
+
+def test_sampled_neighbor_loss_semantics(mutag):
+    csr = DeviceCSR.from_dataset(mutag)
+    params = init_sampled_softmax_params(jax.random.key(0), mutag.num_nodes, 8)
+    inputs = jax.random.normal(jax.random.key(1), (16, 8))
+    labels = jnp.arange(16, dtype=jnp.int32)
+    out = sampled_neighbor_loss(params, jax.random.key(2), inputs, labels, csr, 8)
+    assert out.shape == (16,)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # isolated label -> exactly zero loss
+    deg = np.asarray(csr.degrees)[:16]
+    if (deg == 0).any():
+        assert np.all(np.asarray(out)[deg == 0] == 0.0)
+    # gradient flows to the embedding table
+    g = jax.grad(
+        lambda p: jnp.sum(
+            sampled_neighbor_loss(p, jax.random.key(2), inputs, labels, csr, 8)
+        )
+    )(params)
+    assert float(jnp.abs(g.weight).max()) > 0
+
+
+def test_gcn_unsup_graphs_model(mutag):
+    cfg = ModelConfig(num_hidden_layers=2, ff_hidden_size=16, sampled_num=32)
+    model = GCNGraphUnsup(mutag.feature_dim, mutag.num_nodes, cfg)
+    assert model.embedding_dim == 32
+    params = model.init(jax.random.key(0))
+    assert params.ss.weight.shape == (mutag.num_nodes, 32)
+    batch = whole_dataset_batch(mutag, num_neighbors=2)
+    z = model.encode(params, batch, rng=None)
+    assert z.shape == (batch.n_pad, 32)
+    loss = float(model.loss(params, batch, jax.random.key(1), model.spec()))
+    assert np.isfinite(loss)
+
+
+def test_unsup_trainer_gcn_backend(mutag):
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=32, num_neighbors=2),
+        model=ModelConfig(model="gcn_unsup", num_hidden_layers=2,
+                          ff_hidden_size=16, sampled_num=32),
+        train=TrainConfig(num_epochs=1, learning_rate=1e-3),
+    )
+    t = UnsupTrainer(mutag, cfg)
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+    mean, std = t.evaluate()
+    assert 0.3 <= mean <= 1.0
+
+
+def test_unsup_trainer_neighbor_sampler(mutag):
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=32, num_neighbors=2),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=16, sampled_num=16,
+                          sampler_type="neighbor"),
+        train=TrainConfig(num_epochs=1, learning_rate=1e-4),
+    )
+    t = UnsupTrainer(mutag, cfg)
+    assert np.isfinite(t.train_epoch())
+
+
+def test_prefetcher_delivers_and_propagates_errors(mutag):
+    bb = BatchBuilder(mutag, 4, 2, seed=0)
+    with BatchPrefetcher(bb.sample, depth=2) as pf:
+        for _ in range(4):
+            b = pf.get()
+            assert b.labels.shape == (4,)
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise RuntimeError("worker failure")
+
+    with pytest.raises(RuntimeError, match="worker failure"):
+        with BatchPrefetcher(boom) as pf:
+            pf.get()
