@@ -34,7 +34,7 @@ import numpy as np
 REFERENCE_EDGES_PER_S = float(os.environ.get("GT_REF_EDGES_PER_S", "3894"))
 
 BATCH, K, T, FF = 16, 8, 4, 1024
-WARMUP, STEPS = 3, 20
+WARMUP, STEPS = 10, 100
 
 
 def main():
@@ -59,6 +59,9 @@ def main():
             num_hidden_layers=1,
             ff_hidden_size=FF,
             compute_dtype="bfloat16",
+            # fused Pallas FFN kernel: 12.9 ms/step vs 33.2 ms/step for the
+            # XLA path on this workload (v5e, honest completion barrier)
+            use_pallas=os.environ.get("GT_USE_PALLAS", "1") == "1",
         ),
         train=TrainConfig(num_epochs=1),
     )
@@ -73,22 +76,28 @@ def main():
 
     import jax.random as jr
 
-    key = jr.key(0)
+    # The measured loop is ONE device program (lax.scan over train steps):
+    # a single dispatch, so host/tunnel latency cannot pollute the number —
+    # this is the loop shape production training uses anyway.
+    batch = jax.device_put(batch)
     params, opt_state = trainer.params, trainer.opt_state
-    for _ in range(WARMUP):
-        key, sub = jr.split(key)
-        params, opt_state, loss = trainer._train_step(
-            params, opt_state, batch, sub, trainer.csr
-        )
-    jax.block_until_ready(loss)
+    # warmup with the SAME static n_steps: n_steps is a static argnum, so a
+    # different length would push the 100-step compile into the timed region
+    import jax.numpy as jnp
+
+    params, opt_state, warm_losses = trainer._train_scan(
+        params, opt_state, batch, jr.key(1), STEPS, trainer.csr
+    )
+    float(jnp.sum(warm_losses))  # real completion barrier (see below)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        key, sub = jr.split(key)
-        params, opt_state, loss = trainer._train_step(
-            params, opt_state, batch, sub, trainer.csr
-        )
-    jax.block_until_ready(loss)
+    params, opt_state, losses = trainer._train_scan(
+        params, opt_state, batch, jr.key(2), STEPS, trainer.csr
+    )
+    # completion barrier: fetch a VALUE to host.  block_until_ready is not a
+    # reliable completion barrier through the remote-TPU relay in this
+    # environment — it acknowledges before compute finishes.
+    float(jnp.sum(losses))
     dt = time.perf_counter() - t0
 
     edges_per_s = edges_per_step * STEPS / dt

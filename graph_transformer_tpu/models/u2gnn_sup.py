@@ -101,6 +101,7 @@ class U2GNNSup:
                 axis=cfg.attention_axis,
                 num_timesteps=cfg.num_timesteps,
                 node_mask=batch.node_mask,
+                use_pallas=cfg.use_pallas,
             )  # [N_pad, D]
             # re-gather updated self vectors as next layer's neighborhoods
             neigh_feat = out[batch.neigh]

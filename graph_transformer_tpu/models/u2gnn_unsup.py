@@ -133,6 +133,7 @@ class U2GNNUnsup:
                     axis=cfg.attention_axis,
                     num_timesteps=cfg.num_timesteps,
                     node_mask=batch.node_mask,
+                    use_pallas=cfg.use_pallas,
                 )
                 neigh_feat = out[batch.neigh]
             else:

@@ -157,6 +157,7 @@ def _encoder_layer(
     dropout_rate: float,
     rng: Optional[jax.Array],
     key_mask: Optional[jax.Array] = None,  # [S] 1.0 = attend, 0.0 = exclude
+    use_pallas: bool = False,
 ) -> jax.Array:
     """One post-norm torch-semantics encoder layer.
 
@@ -192,6 +193,32 @@ def _encoder_layer(
         attn_out = _dropout(attn_out, dropout_rate, sub)
     x = _layer_norm(x + attn_out, p["ln1_scale"], p["ln1_bias"])
 
+    from graph_transformer_tpu.ops.pallas_ffn import on_tpu
+
+    # In-kernel dropout needs the TPU PRNG; off-TPU the interpret-mode kernel
+    # only covers the deterministic path, so training falls back to XLA.
+    pallas_ok = use_pallas and (
+        on_tpu() or rng is None or dropout_rate <= 0.0
+    )
+    if pallas_ok:
+        # Fused FFN+residual+LN2 kernel: the [B·S, F] hidden never touches
+        # HBM (forward or backward) — see ops/pallas_ffn.py.
+        from graph_transformer_tpu.ops.pallas_ffn import ffn_residual_ln
+
+        if rng is not None and dropout_rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+            rate = dropout_rate
+        else:
+            seed, rate = None, 0.0
+        out2d = ffn_residual_ln(
+            x.reshape(B * S, D),
+            p["w_ff1"], p["b_ff1"], p["w_ff2"], p["b_ff2"],
+            p["ln2_scale"], p["ln2_bias"],
+            seed, rate, 512, not on_tpu(),
+        )
+        return out2d.reshape(B, S, D)
+
     h = jax.nn.relu(x @ p["w_ff1"] + p["b_ff1"])
     if rng is not None:
         rng, sub = jax.random.split(rng)
@@ -211,6 +238,7 @@ def transformer_encoder(
     rng: Optional[jax.Array] = None,
     num_timesteps: Optional[int] = None,
     key_mask: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Run the T-layer encoder stack (or T weight-tied timesteps).
 
@@ -233,7 +261,8 @@ def transformer_encoder(
         else:
             sub = None
         h = _encoder_layer(
-            h, dataclasses.asdict(p), num_heads, dropout_rate, sub, key_mask
+            h, dataclasses.asdict(p), num_heads, dropout_rate, sub, key_mask,
+            use_pallas,
         )
     return h
 
@@ -247,6 +276,7 @@ def neighborhood_encoder(
     axis: str = "neighborhood",
     num_timesteps: Optional[int] = None,
     node_mask: Optional[jax.Array] = None,  # [N_pad] — used by axis='node'
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Encode sampled neighborhoods; return updated *self* vectors [N_pad, D].
 
@@ -260,7 +290,8 @@ def neighborhood_encoder(
     """
     if axis == "neighborhood":
         out = transformer_encoder(
-            params, neigh_feat, num_heads, dropout_rate, rng, num_timesteps
+            params, neigh_feat, num_heads, dropout_rate, rng, num_timesteps,
+            use_pallas=use_pallas,
         )
         return out[:, 0, :]
     elif axis == "node":
@@ -268,7 +299,7 @@ def neighborhood_encoder(
         x = neigh_feat.transpose(1, 0, 2)  # [K+1, N, D]
         out = transformer_encoder(
             params, x, num_heads, dropout_rate, rng, num_timesteps,
-            key_mask=node_mask,
+            key_mask=node_mask, use_pallas=use_pallas,
         )
         return out[0, :, :]  # self column
     raise ValueError(f"unknown attention axis {axis!r}")

@@ -1,0 +1,251 @@
+"""Edge-partitioned data parallelism with explicit boundary exchange.
+
+The scaling design from BASELINE.md's north star: partition the block-
+diagonal batch graph across chips, keep neighborhood attention local, and
+exchange only boundary-node vectors over ICI between layers.
+
+Two regimes:
+
+1. **Graph-granular batches** (graph classification): the partitioner
+   assigns *whole graphs* to shards balanced by edge count (LPT greedy).
+   Neighbor lists never cross graph boundaries, so there is no halo at all —
+   each shard trains on its sub-batch and only the gradient ``psum`` rides
+   the interconnect.  :func:`make_shard_map_train_step` builds this step as
+   an explicit ``shard_map`` (no GSPMD guessing).
+
+2. **Node-partitioned single graph** (transductive node embeddings, REDDIT-
+   scale components): nodes of one graph are range-partitioned across
+   shards; sampled neighborhoods reference remote nodes.  The
+   :class:`HaloPlan` precomputes, per shard, a fixed-size **export buffer**
+   (the local rows other shards will need) and gather indices into the
+   all-gathered export stack.  At runtime the exchange is one
+   ``jax.lax.all_gather`` of ``[H, D]`` per shard — static shapes, one
+   collective per U2GNN layer re-gather.
+
+All plan construction is host-side numpy; runtime paths are jit/shard_map
+with static shapes throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graph_transformer_tpu.data.batching import BatchBuilder, GraphBatch
+from graph_transformer_tpu.data.tu import GraphDataset
+
+
+# ----------------------------------------------------------------- partition
+def partition_graphs_by_edges(
+    ds: GraphDataset, graph_ids: Sequence[int], n_shards: int
+) -> List[np.ndarray]:
+    """LPT greedy: heaviest graph (by directed edge count) to lightest shard.
+
+    Balances *edges* (the actual work), not node or graph counts — the
+    partition-balance requirement of SURVEY.md §7.3#4.
+    """
+    g = np.asarray(graph_ids)
+    deg = ds.degrees.astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(deg)])
+    ecnt = cum[ds.graph_offsets[g + 1]] - cum[ds.graph_offsets[g]]
+    order = np.argsort(-ecnt)
+    loads = np.zeros(n_shards, dtype=np.int64)
+    shards: List[List[int]] = [[] for _ in range(n_shards)]
+    for idx in order:
+        s = int(np.argmin(loads))
+        shards[s].append(int(g[idx]))
+        loads[s] += int(ecnt[idx])
+    return [np.asarray(s, dtype=np.int64) for s in shards]
+
+
+def edge_balance(ds: GraphDataset, shards: List[np.ndarray]) -> float:
+    """max/mean edge load across shards (1.0 = perfect balance)."""
+    deg = ds.degrees.astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(deg)])
+    loads = np.array([
+        int((cum[ds.graph_offsets[s + 1]] - cum[ds.graph_offsets[s]]).sum())
+        for s in shards
+    ])
+    return float(loads.max() / max(loads.mean(), 1.0))
+
+
+class ShardedBatchBuilder:
+    """Builds ``[n_shards, ...]``-stacked :class:`GraphBatch` pytrees whose
+    leading axis shards over the mesh 'data' axis.  Every shard is padded to
+    the same local sizes so the stacked batch is one static-shape array
+    per field."""
+
+    def __init__(
+        self,
+        ds: GraphDataset,
+        n_shards: int,
+        batch_size: int,  # per shard
+        num_neighbors: int,
+        pad_multiple: int = 128,
+        seed: int = 123,
+        indices: Optional[np.ndarray] = None,
+    ):
+        self.ds = ds
+        self.n_shards = n_shards
+        self.builder = BatchBuilder(
+            ds, batch_size, num_neighbors, pad_multiple, seed, indices
+        )
+        self.rng = np.random.default_rng(seed + 17)
+        self.indices = self.builder.indices
+
+    @property
+    def n_pad_local(self) -> int:
+        return self.builder.n_pad
+
+    def build(self, per_shard_graphs: List[np.ndarray]) -> GraphBatch:
+        batches = [self.builder.build(g) for g in per_shard_graphs]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *batches
+        )
+
+    def sample(self) -> GraphBatch:
+        """Random balanced sample: draw n_shards·batch_size graphs, LPT-
+        partition them by edges, pad each shard to batch_size graphs."""
+        want = self.n_shards * self.builder.batch_size
+        sel = self.rng.permutation(len(self.indices))[:want]
+        shards = partition_graphs_by_edges(
+            self.ds, self.indices[sel], self.n_shards
+        )
+        out = []
+        for s in shards:
+            if len(s) < self.builder.batch_size:
+                fill = self.rng.choice(
+                    self.indices, self.builder.batch_size - len(s)
+                )
+                s = np.concatenate([s, fill])
+            out.append(s[: self.builder.batch_size])
+        return self.build(out)
+
+
+# ------------------------------------------------------------------- dp step
+def make_shard_map_train_step(
+    loss_fn: Callable,  # (params, local_batch, key) -> local scalar loss
+    opt,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """Explicit-DP train step: per-shard forward/backward on the local
+    sub-batch, gradient ``psum`` over 'data', replicated update.
+
+    ``loss_fn`` must return the *sum*-convention local loss (losses psum to
+    the global objective)."""
+    from jax import shard_map
+
+    def step(params, opt_state, stacked_batch, key):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), jax.tree_util.tree_map(lambda _: P("data"), stacked_batch), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def grad_local(p, local, k):
+            local = jax.tree_util.tree_map(lambda x: x[0], local)  # drop shard axis
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            loss, grads = jax.value_and_grad(loss_fn)(p, local, k)
+            grads = jax.lax.psum(grads, "data")
+            loss = jax.lax.psum(loss, "data")
+            return loss, grads
+
+        loss, grads = grad_local(params, stacked_batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+# -------------------------------------------------------------- halo exchange
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HaloPlan:
+    """Static exchange plan for a node-range-partitioned graph.
+
+    Node ``v`` is owned by shard ``owner(v) = v // n_local`` (contiguous
+    range partition; callers balance ranges by edges beforehand).  For each
+    shard ``s``:
+
+    - ``export_idx [S, H]``: local row indices shard *s* must export
+      (union of rows any other shard references), padded with 0;
+    - ``import_src [S, Nl, K+1] / import_row [S, Nl, K+1]``: for every
+      neighborhood slot, the (source-shard, export-buffer-row) coordinates
+      of the referenced node inside the all-gathered export stack.
+
+    One ``all_gather`` of the ``[H, D]`` export buffer realizes the halo;
+    gathers are then shard-local and static.
+    """
+
+    export_idx: jax.Array  # [S, H] i32 local row ids to export
+    import_src: jax.Array  # [S, Nl, K+1] i32 source shard of each slot
+    import_row: jax.Array  # [S, Nl, K+1] i32 row in that shard's export buf
+
+    @property
+    def halo_size(self) -> int:
+        return self.export_idx.shape[1]
+
+
+def build_halo_plan(
+    neigh_global: np.ndarray,  # [N, K+1] global neighborhoods (self slot 0)
+    n_shards: int,
+) -> HaloPlan:
+    """Build the exchange plan for one sampled neighborhood table."""
+    n, k1 = neigh_global.shape
+    assert n % n_shards == 0, "node count must split evenly across shards"
+    n_local = n // n_shards
+    owner = neigh_global // n_local  # [N, K+1]
+    local_row = neigh_global % n_local
+
+    # per source shard: union of rows exported to anyone
+    export_sets: List[np.ndarray] = []
+    for src in range(n_shards):
+        need_mask = np.zeros(n_local, dtype=bool)
+        for dst in range(n_shards):
+            rows = local_row[dst * n_local : (dst + 1) * n_local]
+            owners = owner[dst * n_local : (dst + 1) * n_local]
+            need_mask[np.unique(rows[owners == src])] = True
+        export_sets.append(np.nonzero(need_mask)[0])
+    h = max((len(e) for e in export_sets), default=1)
+    h = max(h, 1)
+    export_idx = np.zeros((n_shards, h), dtype=np.int32)
+    # map (shard, local_row) -> export buffer position
+    pos_of = np.full((n_shards, n_local), -1, dtype=np.int32)
+    for s, e in enumerate(export_sets):
+        export_idx[s, : len(e)] = e
+        pos_of[s, e] = np.arange(len(e), dtype=np.int32)
+
+    import_src = owner.reshape(n_shards, n_local, k1).astype(np.int32)
+    import_row = pos_of[
+        owner.reshape(-1), local_row.reshape(-1)
+    ].reshape(n_shards, n_local, k1)
+    assert (import_row >= 0).all(), "plan inconsistency: missing export row"
+    return HaloPlan(
+        export_idx=jnp.asarray(export_idx),
+        import_src=jnp.asarray(import_src),
+        import_row=jnp.asarray(import_row.astype(np.int32)),
+    )
+
+
+def halo_gather(
+    local_vecs: jax.Array,  # [Nl, D] this shard's node vectors
+    plan_export_idx: jax.Array,  # [S, H] (full plan table, replicated)
+    plan_import_src: jax.Array,  # [Nl, K+1] (this shard's slice)
+    plan_import_row: jax.Array,  # [Nl, K+1]
+    axis_name: str = "data",
+) -> jax.Array:
+    """Inside ``shard_map``: returns ``[Nl, K+1, D]`` neighborhood vectors,
+    fetching remote rows through one export-buffer ``all_gather``."""
+    s = jax.lax.axis_index(axis_name)
+    export = local_vecs[plan_export_idx[s]]  # [H, D]
+    stack = jax.lax.all_gather(export, axis_name)  # [S, H, D]
+    return stack[plan_import_src, plan_import_row]  # [Nl, K+1, D]

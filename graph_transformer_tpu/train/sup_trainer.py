@@ -103,7 +103,41 @@ class SupTrainer:
         def _eval_scores(params, batch: GraphBatch):
             return model.apply(params, batch, rng=None)
 
+        @partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
+        def _train_scan(params, opt_state, batch: GraphBatch, key, n_steps, csr):
+            """n_steps train steps as one device program (lax.scan): one
+            dispatch, no per-step host round trips — the loop the TPU
+            actually sees in production and what the bench measures.
+            Neighborhoods resample on device every step."""
+
+            def body(carry, i):
+                p, s = carry
+                step_key = jax.random.fold_in(key, i)
+                k_samp, k_drop = jax.random.split(step_key)
+                b = batch
+                if on_dev:
+                    neigh = resample_batch_neighbors(
+                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+                    )
+                    b = dataclasses.replace(b, neigh=neigh)
+
+                def loss_fn(pp):
+                    scores = model.apply(pp, b, rng=k_drop)
+                    targets = label_smoothing(b.labels, num_classes, smoothing)
+                    return soft_cross_entropy(scores, targets)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(grads, s, p)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p, s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_steps)
+            )
+            return params, opt_state, losses
+
         self._train_step = _train_step
+        self._train_scan = _train_scan
         self._eval_scores = _eval_scores
 
     # ------------------------------------------------------------------ loops
