@@ -1,0 +1,293 @@
+"""Single-graph node-classification datasets (transductive).
+
+Capability parity with the reference's node pipeline dataset ingestion
+(``node_train_utils.py:41-103``): citation graphs (cora / citeseer / pubmed),
+Zachary's karate club, and a synthetic planted-partition graph.  The
+reference pulls these through ``dgl.data``; here the citation graphs are
+parsed directly from the standard Planetoid file format (the same underlying
+``ind.<name>.*`` files DGL downloads) so the loader has no framework
+dependency, karate comes from networkx, and the synthetic generator is
+self-contained.
+
+Every loader returns a :class:`NodeGraphDataset`: a one-graph
+:class:`~graph_transformer_tpu.data.tu.GraphDataset` (so the whole batching /
+sampling / model substrate applies unchanged, with the node vocabulary equal
+to the node count) plus per-node labels and train/val/test masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from graph_transformer_tpu.data.tu import GraphDataset
+
+
+@dataclasses.dataclass
+class NodeGraphDataset:
+    """A single graph with per-node labels for transductive classification."""
+
+    name: str
+    graph: GraphDataset  # exactly one graph; node ids are 0..N-1
+    node_labels: np.ndarray  # [N] int32
+    num_classes: int
+    train_mask: np.ndarray  # [N] bool
+    val_mask: np.ndarray  # [N] bool
+    test_mask: np.ndarray  # [N] bool
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+    @property
+    def feature_dim(self) -> int:
+        return self.graph.feature_dim
+
+    def dense_adj(self, n_pad: Optional[int] = None) -> np.ndarray:
+        """Dense [n_pad, n_pad] 0/1 adjacency — the mask consumed by the
+        contrastive / GAE loss heads (``node_train_utils.py:206-217``).
+        Padding rows/cols stay zero."""
+        n = n_pad if n_pad is not None else self.num_nodes
+        a = np.zeros((n, n), dtype=np.float32)
+        src, dst = self.graph.edge_arrays()
+        a[src, dst] = 1.0
+        return a
+
+    def to_multiplex(self, **kw):
+        """Lift into the multiplex pipeline (base graph + optional kNN
+        feature-similarity view, ``data_utils.py:694-735``)."""
+        from graph_transformer_tpu.data.multiplex import (
+            single_graph_with_similarity_layer,
+        )
+
+        return single_graph_with_similarity_layer(
+            self.dense_adj(),
+            self.graph.node_feat,
+            self.node_labels,
+            name=self.name + "+sim",
+            **kw,
+        )
+
+
+def _graph_from_edges(
+    name: str,
+    src: np.ndarray,
+    dst: np.ndarray,
+    node_feat: np.ndarray,
+    label: int = 0,
+) -> GraphDataset:
+    """Build a one-graph :class:`GraphDataset` from a directed edge list.
+
+    Edges are deduplicated and symmetrized (undirected simple-graph semantics,
+    matching the TU loader / ``util.py:116-120``); self-loops are dropped.
+    """
+    n = node_feat.shape[0]
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # canonical undirected pairs, deduplicated, then both directions
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    s = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    d = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    counts = np.bincount(s, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return GraphDataset(
+        name=name,
+        node_feat=np.asarray(node_feat, dtype=np.float32),
+        nbr_offsets=offsets,
+        nbr_ids=d.astype(np.int32),
+        graph_offsets=np.array([0, n], dtype=np.int64),
+        labels=np.array([label], dtype=np.int32),
+        num_classes=1,
+    )
+
+
+def _masks_from_counts(
+    n: int, n_train: int, n_val: int, test_idx: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    train = np.zeros(n, dtype=bool)
+    val = np.zeros(n, dtype=bool)
+    test = np.zeros(n, dtype=bool)
+    train[:n_train] = True
+    val[n_train : n_train + n_val] = True
+    test[test_idx] = True
+    return train, val, test
+
+
+# ----------------------------------------------------------------- planetoid
+def _pickle_load(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f, encoding="latin1")
+
+
+def load_planetoid(
+    name: str,
+    data_dir: Optional[str] = None,
+) -> NodeGraphDataset:
+    """Parse the standard Planetoid files ``ind.<name>.{x,y,tx,ty,allx,ally,
+    graph,test.index}`` (cora / citeseer / pubmed) — the format behind the
+    DGL citation datasets the reference loads (``node_train_utils.py:41-68``).
+
+    ``data_dir`` defaults to ``$GT_TPU_CITATION`` — the raw files are not
+    bundled with the repo; point this at a Planetoid download.
+    """
+    import scipy.sparse as sp
+
+    name = name.lower()
+    d = data_dir or os.environ.get("GT_TPU_CITATION", "")
+    if not d or not os.path.exists(os.path.join(d, f"ind.{name}.x")):
+        raise FileNotFoundError(
+            f"planetoid files for {name!r} not found under {d!r}; "
+            "set GT_TPU_CITATION or pass data_dir"
+        )
+
+    def obj(suffix):
+        return _pickle_load(os.path.join(d, f"ind.{name}.{suffix}"))
+
+    x, y = obj("x"), obj("y")
+    tx, ty = obj("tx"), obj("ty")
+    allx, ally = obj("allx"), obj("ally")
+    graph = obj("graph")  # dict node -> [neighbors]
+    with open(os.path.join(d, f"ind.{name}.test.index")) as f:
+        test_idx = np.array([int(line) for line in f if line.strip()], dtype=np.int64)
+
+    test_sorted = np.sort(test_idx)
+    # citeseer has isolated test nodes missing from tx — fill the full
+    # contiguous test range with zero rows (standard fix)
+    full_range = np.arange(test_sorted[0], test_sorted[-1] + 1)
+    tx_full = sp.lil_matrix((len(full_range), x.shape[1]), dtype=np.float32)
+    ty_full = np.zeros((len(full_range), y.shape[1]), dtype=np.float32)
+    pos = test_idx - test_sorted[0]
+    tx_full[pos] = tx
+    ty_full[pos] = ty
+
+    feats = sp.vstack([sp.csr_matrix(allx), sp.csr_matrix(tx_full)]).toarray()
+    labels_1hot = np.vstack([ally, ty_full])
+    n = feats.shape[0]
+    # isolated fill-in rows have all-zero labels; give them class 0 (they are
+    # excluded from every mask anyway)
+    labels = np.where(
+        labels_1hot.sum(axis=1) > 0, labels_1hot.argmax(axis=1), 0
+    ).astype(np.int32)
+
+    src = np.concatenate(
+        [np.full(len(vs), u, dtype=np.int64) for u, vs in graph.items()]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    dst = np.concatenate(
+        [np.asarray(vs, dtype=np.int64) for vs in graph.values()]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    inside = (dst < n) & (src < n)  # planetoid graphs may cite padded range
+    g = _graph_from_edges(name, src[inside], dst[inside], feats)
+
+    train, val, test = _masks_from_counts(n, y.shape[0], 500, test_idx)
+    return NodeGraphDataset(
+        name=name,
+        graph=g,
+        node_labels=labels,
+        num_classes=labels_1hot.shape[1],
+        train_mask=train,
+        val_mask=val,
+        test_mask=test,
+    )
+
+
+# -------------------------------------------------------------------- karate
+def karate_club(train_fraction: float = 0.5, seed: int = 0) -> NodeGraphDataset:
+    """Zachary's karate club with the two-faction labels
+    (``node_train_utils.py:70-79`` loads it through DGL; networkx ships the
+    same graph).  Features are identity one-hots (the standard featureless
+    treatment)."""
+    import networkx as nx
+
+    g = nx.karate_club_graph()
+    n = g.number_of_nodes()
+    edges = np.asarray(list(g.edges()), dtype=np.int64)
+    labels = np.array(
+        [0 if g.nodes[i]["club"] == "Mr. Hi" else 1 for i in range(n)],
+        dtype=np.int32,
+    )
+    feats = np.eye(n, dtype=np.float32)
+    gd = _graph_from_edges("karate", edges[:, 0], edges[:, 1], feats)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    k = int(round(train_fraction * n))
+    train = np.zeros(n, dtype=bool)
+    train[perm[:k]] = True
+    test = ~train
+    return NodeGraphDataset(
+        name="karate",
+        graph=gd,
+        node_labels=labels,
+        num_classes=2,
+        train_mask=train,
+        val_mask=np.zeros(n, dtype=bool),
+        test_mask=test,
+    )
+
+
+# ----------------------------------------------------------------- synthetic
+def sbm_synthetic(
+    num_nodes: int = 120,
+    num_classes: int = 3,
+    p_in: float = 0.15,
+    p_out: float = 0.01,
+    feature_dim: int = 16,
+    feature_scale: float = 1.0,
+    train_fraction: float = 0.6,
+    seed: int = 0,
+) -> NodeGraphDataset:
+    """Planted-partition graph with per-class gaussian features — the
+    synthetic node-classification source (``node_train_utils.py:81-103``
+    builds gaussian clusters; this is the graph-structured analogue)."""
+    rng = np.random.default_rng(seed)
+    labels = np.sort(rng.integers(0, num_classes, size=num_nodes)).astype(np.int32)
+    same = labels[:, None] == labels[None, :]
+    prob = np.where(same, p_in, p_out)
+    upper = np.triu(rng.random((num_nodes, num_nodes)) < prob, k=1)
+    src, dst = np.nonzero(upper)
+    centers = rng.normal(0, feature_scale, size=(num_classes, feature_dim))
+    feats = centers[labels] + rng.normal(0, 0.5, size=(num_nodes, feature_dim))
+    gd = _graph_from_edges("sbm", src, dst, feats.astype(np.float32))
+    perm = rng.permutation(num_nodes)
+    k = int(round(train_fraction * num_nodes))
+    train = np.zeros(num_nodes, dtype=bool)
+    train[perm[:k]] = True
+    return NodeGraphDataset(
+        name="sbm",
+        graph=gd,
+        node_labels=labels,
+        num_classes=num_classes,
+        train_mask=train,
+        val_mask=np.zeros(num_nodes, dtype=bool),
+        test_mask=~train,
+    )
+
+
+NODE_DATASETS: Dict[str, Callable[..., NodeGraphDataset]] = {
+    "karate": karate_club,
+    "sbm": sbm_synthetic,
+    "cora": lambda **kw: load_planetoid("cora", **kw),
+    "citeseer": lambda **kw: load_planetoid("citeseer", **kw),
+    "pubmed": lambda **kw: load_planetoid("pubmed", **kw),
+}
+
+
+def load_node_dataset(name: str, **kwargs) -> NodeGraphDataset:
+    """Dispatch replacing the reference's dataset if/elif
+    (``node_train_utils.py:41-103``)."""
+    if name not in NODE_DATASETS:
+        raise KeyError(
+            f"unknown node dataset {name!r}; have {sorted(NODE_DATASETS)}"
+        )
+    return NODE_DATASETS[name](**kwargs)

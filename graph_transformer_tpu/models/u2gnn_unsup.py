@@ -162,7 +162,12 @@ class U2GNNUnsup:
             params.cross_attn, stacked, num_heads=1,
             dropout_rate=cfg.dropout, rng=r_mha,
         )
-        return attended[:, -1, :]  # last slot (pytorch_U2GNN_UnSup.py:72-73)
+        z = attended[:, -1, :]  # last slot (pytorch_U2GNN_UnSup.py:72-73)
+        # elementwise multiply by the learned node-embedding table, gathered
+        # at each row's global id (``weight ⊙ output``,
+        # pytorch_U2GNN_UnSup.py:79 — there N == vocab_size; the gather makes
+        # it hold for any padded/sharded batch too)
+        return params.weight[batch.node_gidx] * z
 
     def loss(
         self,

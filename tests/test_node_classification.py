@@ -1,0 +1,193 @@
+"""Single-graph node-classification path: loaders + trainer (fast configs)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.data.citation import (
+    karate_club,
+    load_node_dataset,
+    load_planetoid,
+    sbm_synthetic,
+)
+from graph_transformer_tpu.train.node_trainer import NodeTrainer, train_evaluate_node
+
+
+def _cfg(model="gcn", loss_type="default", **model_kw):
+    return ExperimentConfig(
+        data=DataConfig(num_neighbors=4, pad_multiple=32),
+        model=ModelConfig(
+            model=model, num_timesteps=1, num_hidden_layers=1,
+            ff_hidden_size=16, sampled_num=8, loss_type=loss_type, **model_kw
+        ),
+        train=TrainConfig(num_epochs=2, learning_rate=1e-3),
+    )
+
+
+# ------------------------------------------------------------------ loaders
+def test_karate_loader():
+    ds = karate_club(seed=0)
+    assert ds.num_nodes == 34
+    assert ds.graph.num_directed_edges == 2 * 78
+    assert ds.num_classes == 2
+    assert set(np.unique(ds.node_labels)) == {0, 1}
+    assert ds.train_mask.sum() + ds.test_mask.sum() == 34
+    assert not np.any(ds.train_mask & ds.test_mask)
+    # symmetric CSR adjacency
+    a = ds.dense_adj()
+    assert np.array_equal(a, a.T)
+    assert np.all(np.diag(a) == 0)
+
+
+def test_sbm_loader():
+    ds = sbm_synthetic(num_nodes=60, num_classes=3, seed=1)
+    assert ds.num_nodes == 60
+    assert ds.num_classes == 3
+    assert ds.feature_dim == 16
+    # planted partition: more in-block than cross-block edges on average
+    a = ds.dense_adj()
+    same = ds.node_labels[:, None] == ds.node_labels[None, :]
+    in_rate = a[same].mean()
+    out_rate = a[~same].mean()
+    assert in_rate > out_rate
+
+
+def test_dense_adj_padding():
+    ds = karate_club()
+    a = ds.dense_adj(64)
+    assert a.shape == (64, 64)
+    assert a[34:].sum() == 0 and a[:, 34:].sum() == 0
+
+
+def test_load_node_dataset_dispatch():
+    assert load_node_dataset("karate").name == "karate"
+    with pytest.raises(KeyError):
+        load_node_dataset("nope")
+
+
+def _write_fake_planetoid(d, name="cora"):
+    """Tiny synthetic dataset in the standard Planetoid file format."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n_train, n_test, n_all, dim, C = 4, 3, 7, 5, 2
+    # allx covers nodes 0..6, tx covers test nodes 7..9 (one missing: 8)
+    allx = sp.csr_matrix(rng.random((n_all, dim)).astype(np.float32))
+    x = allx[:n_train]
+    test_index = np.array([7, 9])  # node 8 is an isolated test node
+    tx = sp.csr_matrix(rng.random((2, dim)).astype(np.float32))
+
+    def onehot(k):
+        out = np.zeros((len(k), C), dtype=np.float32)
+        out[np.arange(len(k)), k] = 1
+        return out
+
+    ally = onehot(rng.integers(0, C, n_all))
+    y = ally[:n_train]
+    ty = onehot(rng.integers(0, C, 2))
+    graph = {0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: [5], 5: [4],
+             6: [7], 7: [6, 9], 8: [], 9: [7]}
+    for suffix, o in [("x", x), ("y", y), ("tx", tx), ("ty", ty),
+                      ("allx", allx), ("ally", ally), ("graph", graph)]:
+        with open(os.path.join(d, f"ind.{name}.{suffix}"), "wb") as f:
+            pickle.dump(o, f)
+    with open(os.path.join(d, f"ind.{name}.test.index"), "w") as f:
+        f.write("\n".join(str(i) for i in test_index))
+    return n_all + 3, C
+
+
+def test_planetoid_loader(tmp_path):
+    n, C = _write_fake_planetoid(str(tmp_path))
+    ds = load_planetoid("cora", data_dir=str(tmp_path))
+    assert ds.num_nodes == n
+    assert ds.num_classes == C
+    assert ds.feature_dim == 5
+    assert ds.train_mask.sum() == 4
+    assert ds.test_mask.sum() == 2  # only listed test ids
+    assert not ds.test_mask[8]  # isolated fill-in node excluded
+    # undirected symmetrized adjacency
+    a = ds.dense_adj()
+    assert np.array_equal(a, a.T)
+    assert a[0, 1] == 1 and a[6, 7] == 1
+
+
+def test_planetoid_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_planetoid("cora", data_dir=str(tmp_path))
+
+
+# ------------------------------------------------------------------ trainer
+def test_node_trainer_gcn_loss_decreases():
+    ds = sbm_synthetic(num_nodes=60, seed=0)
+    cfg = _cfg("gcn").replace(
+        train=TrainConfig(num_epochs=1, learning_rate=5e-3)
+    )
+    t = NodeTrainer(ds, cfg)
+    losses = [t.train_epoch() for _ in range(30)]
+    assert np.all(np.isfinite(losses))
+    # the 2-dim VGAE latent (reference hardcodes latent_dim=2,
+    # gcn_pytorch.py:56) learns slowly; compare averaged ends
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    acc = t.evaluate_masks()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_node_trainer_u2gnn_sampled_softmax():
+    ds = karate_club()
+    out = train_evaluate_node(ds, _cfg("u2gnn"), eval_mode="2fold",
+                              log_fn=lambda *_: None)
+    assert np.isfinite(out["history"][-1]["loss"])
+    assert 0.0 <= out["best_metric"] <= 1.0
+
+
+def test_node_trainer_gat_contrastive():
+    ds = karate_club()
+    t = NodeTrainer(ds, _cfg("gat", loss_type="contrastive"))
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+    emb = t.node_embeddings()
+    assert emb.shape[0] == ds.num_nodes
+
+
+def test_node_trainer_gcn_gae():
+    ds = karate_club()
+    t = NodeTrainer(ds, _cfg("gcn", loss_type="gae"))
+    l0 = t.train_epoch()
+    l1 = t.train_epoch()
+    assert np.isfinite(l0) and np.isfinite(l1)
+    km = t.evaluate_kmeans()
+    assert 0.0 <= km["accuracy"] <= 1.0
+
+
+def test_node_trainer_neighbor_sampler():
+    ds = karate_club()
+    t = NodeTrainer(ds, _cfg("u2gnn", sampler_type="neighbor"))
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+
+
+def test_to_multiplex_bridge():
+    ds = karate_club()
+    ml = ds.to_multiplex(size_x=8, num_similarity_neighbors=4, seed=0)
+    assert ml.num_views == 2
+    assert ml.num_nodes == 34
+
+
+def test_cli_train_node_smoke(capsys):
+    from graph_transformer_tpu.cli.train_node import main
+
+    metric = main([
+        "--node_dataset", "karate", "--node_model", "gcn",
+        "--num_epochs", "1", "--ff_hidden_size", "8",
+        "--sampled_num", "8", "--num_neighbors", "2",
+    ])
+    assert 0.0 <= metric <= 1.0
+    assert "node data" in capsys.readouterr().out
