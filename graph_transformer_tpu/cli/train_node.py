@@ -48,10 +48,15 @@ def main(argv=None):
         )
     )
 
-    kw = {}
-    if args.node_dataset in ("cora", "citeseer", "pubmed") and args.citation_dir:
-        kw["data_dir"] = args.citation_dir
-    ds = load_node_dataset(args.node_dataset, **kw)
+    if args.node_dataset.startswith("npz:"):
+        from graph_transformer_tpu.data.citation import load_npz
+
+        ds = load_npz(args.node_dataset[4:])
+    else:
+        kw = {}
+        if args.node_dataset in ("cora", "citeseer", "pubmed") and args.citation_dir:
+            kw["data_dir"] = args.citation_dir
+        ds = load_node_dataset(args.node_dataset, **kw)
     print(f"# node data: {ds.name}, {ds.num_nodes} nodes, "
           f"{ds.graph.num_directed_edges} directed edges, "
           f"{ds.num_classes} classes, feature dim {ds.feature_dim}")

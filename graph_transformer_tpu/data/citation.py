@@ -274,6 +274,71 @@ def sbm_synthetic(
     )
 
 
+def from_arrays(
+    name: str,
+    src: np.ndarray,
+    dst: np.ndarray,
+    features: np.ndarray,
+    labels: np.ndarray,
+    train_mask: Optional[np.ndarray] = None,
+    val_mask: Optional[np.ndarray] = None,
+    test_mask: Optional[np.ndarray] = None,
+    train_fraction: float = 0.6,
+    seed: int = 0,
+) -> NodeGraphDataset:
+    """Build a node-classification dataset from raw arrays — the adapter for
+    any externally-prepared graph (e.g. a PPI graph exported from DGL: the
+    reference takes ``PPIDataset()[0]``'s ndata arrays,
+    ``node_train_utils.py:49-50,75-81``).  Multi-label (2-D) label matrices
+    are reduced to their argmax class, matching what the reference's
+    single-label eval pipeline requires."""
+    labels = np.asarray(labels)
+    if labels.ndim == 2:
+        labels = labels.argmax(axis=1)
+    labels = labels.astype(np.int32)
+    n = np.asarray(features).shape[0]
+    g = _graph_from_edges(name, src, dst, features)
+    if train_mask is None:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        k = int(round(train_fraction * n))
+        train_mask = np.zeros(n, dtype=bool)
+        train_mask[perm[:k]] = True
+        test_mask = ~train_mask
+        val_mask = np.zeros(n, dtype=bool)
+    return NodeGraphDataset(
+        name=name,
+        graph=g,
+        node_labels=labels,
+        num_classes=int(labels.max()) + 1,
+        train_mask=np.asarray(train_mask, bool),
+        val_mask=(
+            np.zeros(n, bool) if val_mask is None else np.asarray(val_mask, bool)
+        ),
+        test_mask=(
+            np.zeros(n, bool) if test_mask is None else np.asarray(test_mask, bool)
+        ),
+    )
+
+
+def load_npz(path: str, name: Optional[str] = None) -> NodeGraphDataset:
+    """Load :func:`from_arrays` inputs from an ``.npz`` with keys
+    ``src, dst, features, labels`` (+ optional ``train_mask, val_mask,
+    test_mask``)."""
+    z = np.load(path)
+
+    def opt(k):
+        return z[k] if k in z.files else None
+
+    return from_arrays(
+        name or os.path.splitext(os.path.basename(path))[0],
+        z["src"], z["dst"], z["features"], z["labels"],
+        train_mask=opt("train_mask"),
+        val_mask=opt("val_mask"),
+        test_mask=opt("test_mask"),
+    )
+
+
 NODE_DATASETS: Dict[str, Callable[..., NodeGraphDataset]] = {
     "karate": karate_club,
     "sbm": sbm_synthetic,

@@ -124,6 +124,31 @@ def test_planetoid_missing_raises(tmp_path):
         load_planetoid("cora", data_dir=str(tmp_path))
 
 
+def test_from_arrays_multilabel_and_npz(tmp_path):
+    from graph_transformer_tpu.data.citation import from_arrays, load_npz
+
+    rng = np.random.default_rng(0)
+    n = 20
+    src = rng.integers(0, n, 40)
+    dst = rng.integers(0, n, 40)
+    feats = rng.random((n, 6)).astype(np.float32)
+    multilabel = np.zeros((n, 4), np.float32)
+    multilabel[np.arange(n), rng.integers(0, 4, n)] = 1
+    ds = from_arrays("ppi-like", src, dst, feats, multilabel, seed=0)
+    assert ds.node_labels.shape == (n,)
+    assert ds.num_classes == 4
+    a = ds.dense_adj()
+    assert np.array_equal(a, a.T) and np.all(np.diag(a) == 0)
+
+    p = tmp_path / "g.npz"
+    np.savez(p, src=src, dst=dst, features=feats,
+             labels=multilabel.argmax(1), train_mask=ds.train_mask,
+             test_mask=ds.test_mask)
+    ds2 = load_npz(str(p))
+    assert ds2.num_nodes == n
+    assert np.array_equal(ds2.train_mask, ds.train_mask)
+
+
 # ------------------------------------------------------------------ trainer
 def test_node_trainer_gcn_loss_decreases():
     ds = sbm_synthetic(num_nodes=60, seed=0)
