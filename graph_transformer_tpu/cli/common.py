@@ -51,6 +51,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Universal-Transformer weight tying across timesteps")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="train each epoch as one device dispatch "
+                        "(pre-built stacked batches + lax.scan)")
     p.add_argument("--host_sampling", action="store_true",
                    help="sample neighborhoods on host instead of on device")
     p.add_argument("--checkpoint_dir", default=None)
@@ -91,6 +94,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             checkpoint_every=args.checkpoint_every,
             seed=args.seed,
             on_device_sampling=not args.host_sampling,
+            scan_epochs=args.scan_epochs,
         ),
         parallel=ParallelConfig(),
     )

@@ -24,8 +24,13 @@ def main(argv=None):
     for i, (tr, te) in enumerate(folds):
         trainer = SupTrainer(ds, cfg, train_idx=tr, test_idx=te)
         best = 0.0
+        step = (
+            trainer.train_epoch_stacked
+            if cfg.train.scan_epochs
+            else trainer.train_epoch
+        )
         for _ in range(cfg.train.num_epochs):
-            trainer.train_epoch()
+            step()
             best = max(best, trainer.evaluate())
         accs.append(best)
         print(f"fold {i}: best acc {best:.4f}")

@@ -109,6 +109,11 @@ class TrainConfig:
     checkpoint_every: int = 0  # epochs; 0 = disabled
     seed: int = 123
     on_device_sampling: bool = True  # neighbor fanout sampling inside the jitted step
+    # Run each epoch as ONE device dispatch (host pre-builds + stacks the
+    # epoch's batches, lax.scan trains).  Big win when per-dispatch latency
+    # dominates (small batches / remote device); costs one extra copy of the
+    # epoch's batch arrays in device memory.
+    scan_epochs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

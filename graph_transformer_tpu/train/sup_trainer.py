@@ -136,9 +136,60 @@ class SupTrainer:
             )
             return params, opt_state, losses
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _train_scan_stacked(params, opt_state, batches: GraphBatch, key, csr):
+            """One epoch as one device program: scan over a leading
+            stacked-batch axis (host pre-builds the epoch's random graph
+            subsets).  Each step still resamples neighborhoods on device.
+            Collapses per-step dispatch latency — through this environment's
+            remote-TPU relay that latency dominates small-batch training."""
+
+            def body(carry, inp):
+                p, s = carry
+                b, i = inp
+                step_key = jax.random.fold_in(key, i)
+                k_samp, k_drop = jax.random.split(step_key)
+                if on_dev:
+                    neigh = resample_batch_neighbors(
+                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+                    )
+                    b = dataclasses.replace(b, neigh=neigh)
+
+                def loss_fn(pp):
+                    scores = model.apply(pp, b, rng=k_drop)
+                    targets = label_smoothing(b.labels, num_classes, smoothing)
+                    return soft_cross_entropy(scores, targets)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(grads, s, p)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p, s), loss
+
+            n = batches.labels.shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(n))
+            )
+            return params, opt_state, jnp.sum(losses)
+
+        @jax.jit
+        def _eval_correct(params, batches: GraphBatch, real_mask):
+            """Correct-prediction count over stacked eval batches — the whole
+            test fold in one dispatch (``lax.map`` keeps peak memory at one
+            batch's activations)."""
+
+            def fwd(b):
+                return model.apply(params, b, rng=None)
+
+            scores = jax.lax.map(fwd, batches)  # [nb, B, C]
+            pred = jnp.argmax(scores, axis=-1)
+            return jnp.sum((pred == batches.labels) * real_mask)
+
         self._train_step = _train_step
         self._train_scan = _train_scan
+        self._train_scan_stacked = _train_scan_stacked
         self._eval_scores = _eval_scores
+        self._eval_correct = _eval_correct
+        self._eval_stack = None  # lazy (stacked test batches, real mask)
 
     # ------------------------------------------------------------------ loops
     def train_epoch(self) -> float:
@@ -158,16 +209,49 @@ class SupTrainer:
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return total
 
+    def train_epoch_stacked(self) -> float:
+        """:meth:`train_epoch` semantics in one device dispatch: pre-build
+        the epoch's random batches on the host, stack, scan on device."""
+        batches = [self.builder.sample() for _ in range(self.num_batches_per_epoch)]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.opt_state, total = self._train_scan_stacked(
+            self.params, self.opt_state, stacked, sub, self.csr
+        )
+        total = float(total)
+        self.epoch_losses.append(total)
+        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
+            self.lr_scale *= self.cfg.train.lr_decay_gamma
+            self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
+        return total
+
     def evaluate(self, indices: Optional[np.ndarray] = None) -> float:
         """Argmax accuracy over ``indices`` (default: test fold),
-        deterministic forward (``train_pytorch_U2GNN_Sup.py:166-187``)."""
-        idx = self.test_idx if indices is None else indices
+        deterministic forward (``train_pytorch_U2GNN_Sup.py:166-187``).
+
+        The default test fold is evaluated as one device dispatch over
+        batches stacked once and cached."""
+        if indices is None:
+            if self._eval_stack is None:
+                batches, masks = [], []
+                for batch, n_real in self.builder.eval_batches(self.test_idx):
+                    batches.append(batch)
+                    m = np.zeros(batch.labels.shape[0], np.float32)
+                    m[:n_real] = 1.0
+                    masks.append(m)
+                self._eval_stack = (
+                    jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches),
+                    np.stack(masks),
+                )
+            stacked, mask = self._eval_stack
+            correct = int(self._eval_correct(self.params, stacked, mask))
+            return correct / len(self.test_idx)
         correct = 0
-        for batch, n_real in self.builder.eval_batches(idx):
+        for batch, n_real in self.builder.eval_batches(indices):
             scores = np.asarray(self._eval_scores(self.params, batch))
             pred = scores[:n_real].argmax(axis=1)
             correct += int((pred == np.asarray(batch.labels)[:n_real]).sum())
-        return correct / len(idx)
+        return correct / len(indices)
 
 
 def train_evaluate_sup(
@@ -181,7 +265,11 @@ def train_evaluate_sup(
     best_acc = 0.0
     for epoch in range(1, cfg.train.num_epochs + 1):
         t0 = time.time()
-        loss = trainer.train_epoch()
+        loss = (
+            trainer.train_epoch_stacked()
+            if cfg.train.scan_epochs
+            else trainer.train_epoch()
+        )
         acc = (
             trainer.evaluate()
             if epoch % cfg.train.eval_every == 0
