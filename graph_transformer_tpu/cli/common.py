@@ -49,6 +49,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="'node' reproduces the PyTorch reference's axis quirk")
     p.add_argument("--share_timestep_weights", action="store_true",
                    help="Universal-Transformer weight tying across timesteps")
+    p.add_argument("--recurrence", default="basic",
+                   choices=["basic", "skip", "highway", "gru", "act"],
+                   help="UT transition function between timesteps "
+                        "(non-basic implies weight tying)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_epochs", action="store_true",
@@ -84,6 +88,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             sampled_num=args.sampled_num,
             attention_axis=args.attention_axis,
             share_timestep_weights=args.share_timestep_weights,
+            recurrence=args.recurrence,
             compute_dtype=args.compute_dtype,
         ),
         train=TrainConfig(

@@ -61,6 +61,11 @@ class ModelConfig:
     # universal_transformer_modified_utils.py:251-252). False matches the
     # PyTorch implementation (T independent TransformerEncoder layers).
     share_timestep_weights: bool = False
+    # Universal-Transformer transition function between timesteps
+    # (the vendored t2t recurrence zoo,
+    # universal_transformer_modified_utils.py:552-1654):
+    # basic | skip | highway | gru | act.  Non-basic implies weight tying.
+    recurrence: str = "basic"
     # Loss head for unsupervised models: default (sampled softmax) | gae | contrastive
     loss_type: str = "default"
     # Negative-candidate source for loss_type='default':

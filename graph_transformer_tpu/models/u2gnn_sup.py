@@ -40,6 +40,8 @@ class U2GNNSupParams:
     encoders: Tuple[TransformerEncoderParams, ...]  # k U2GNN layers
     head_w: jax.Array  # [k, D, C]
     head_b: jax.Array  # [k, C]
+    # UT recurrence transition params per U2GNN layer (None for basic/skip)
+    rec: Tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +55,10 @@ class U2GNNSup:
     def init(self, key: jax.Array) -> U2GNNSupParams:
         k = self.cfg.num_hidden_layers
         D, C = self.feature_dim, self.num_classes
-        stored_layers = 1 if self.cfg.share_timestep_weights else self.cfg.num_timesteps
+        # a non-basic UT transition implies weight tying (the t2t recurrence
+        # reuses one layer's weights each timestep)
+        tied = self.cfg.share_timestep_weights or self.cfg.recurrence != "basic"
+        stored_layers = 1 if tied else self.cfg.num_timesteps
         encoders = tuple(
             init_encoder_params(
                 jax.random.fold_in(key, i),
@@ -69,8 +74,18 @@ class U2GNNSup:
                 for i in range(k)
             ]
         )
+        from graph_transformer_tpu.ops.ut_recurrence import (
+            init_recurrence_params,
+        )
+
+        rec = tuple(
+            init_recurrence_params(
+                jax.random.fold_in(key, 2000 + i), self.cfg.recurrence, D
+            )
+            for i in range(k)
+        )
         return U2GNNSupParams(
-            encoders=encoders, head_w=hw, head_b=jnp.zeros((k, C))
+            encoders=encoders, head_w=hw, head_b=jnp.zeros((k, C)), rec=rec
         )
 
     def apply(
@@ -102,6 +117,8 @@ class U2GNNSup:
                 num_timesteps=cfg.num_timesteps,
                 node_mask=batch.node_mask,
                 use_pallas=cfg.use_pallas,
+                recurrence=cfg.recurrence,
+                rec_params=params.rec[i] if params.rec else None,
             )  # [N_pad, D]
             # re-gather updated self vectors as next layer's neighborhoods
             neigh_feat = out[batch.neigh]

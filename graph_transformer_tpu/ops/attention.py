@@ -239,6 +239,8 @@ def transformer_encoder(
     num_timesteps: Optional[int] = None,
     key_mask: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    recurrence: str = "basic",
+    rec_params=None,
 ) -> jax.Array:
     """Run the T-layer encoder stack (or T weight-tied timesteps).
 
@@ -246,24 +248,62 @@ def transformer_encoder(
     is replayed cyclically — with a single stored layer this is exactly the
     Universal-Transformer recurrence (weights shared across timesteps).
     ``key_mask`` [S] excludes padding positions from every attention softmax.
+
+    ``recurrence`` selects the Universal-Transformer transition function
+    between timesteps (basic | skip | highway | gru | act — the vendored t2t
+    zoo, ``universal_transformer_modified_utils.py:552-1654``); non-basic
+    kinds other than ``skip`` need matching ``rec_params``
+    (:func:`~graph_transformer_tpu.ops.ut_recurrence.init_recurrence_params`).
+    ACT discards the ponder cost here; call
+    :func:`~graph_transformer_tpu.ops.ut_recurrence.act_encoder` directly to
+    regularize with it.
     """
     stored = params.w_in.shape[0]
     T = stored if num_timesteps is None else num_timesteps
+
+    def layer_at(h, t, sub):
+        p = jax.tree_util.tree_map(lambda a: a[t % stored], params)
+        return _encoder_layer(
+            h, dataclasses.asdict(p), num_heads, dropout_rate, sub, key_mask,
+            use_pallas,
+        )
+
+    def split():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    if recurrence == "act":
+        from graph_transformer_tpu.ops.ut_recurrence import act_encoder
+
+        subs = [split() for _ in range(T)]
+        out, _ponder = act_encoder(
+            lambda h, t: layer_at(h, t, subs[t]), x, rec_params, T
+        )
+        return out
 
     # Unrolled python loop: T is tiny (≤6 in all reference configs) and
     # unrolling lets XLA fuse across layers; a lax.scan would force dynamic
     # slicing of the stacked params for no benefit at this depth.
     h = x
     for t in range(T):
-        p = jax.tree_util.tree_map(lambda a: a[t % stored], params)
-        if rng is not None:
-            rng, sub = jax.random.split(rng)
+        out = layer_at(h, t, split())
+        if recurrence == "basic":
+            h = out
+        elif recurrence == "skip":
+            h = out + x
+        elif recurrence == "highway":
+            from graph_transformer_tpu.ops.ut_recurrence import highway_step
+
+            h = highway_step(rec_params, h, out)
+        elif recurrence == "gru":
+            from graph_transformer_tpu.ops.ut_recurrence import gru_step
+
+            h = gru_step(rec_params, h, out)
         else:
-            sub = None
-        h = _encoder_layer(
-            h, dataclasses.asdict(p), num_heads, dropout_rate, sub, key_mask,
-            use_pallas,
-        )
+            raise ValueError(f"unknown recurrence {recurrence!r}")
     return h
 
 
@@ -277,6 +317,8 @@ def neighborhood_encoder(
     num_timesteps: Optional[int] = None,
     node_mask: Optional[jax.Array] = None,  # [N_pad] — used by axis='node'
     use_pallas: bool = False,
+    recurrence: str = "basic",
+    rec_params=None,
 ) -> jax.Array:
     """Encode sampled neighborhoods; return updated *self* vectors [N_pad, D].
 
@@ -291,7 +333,7 @@ def neighborhood_encoder(
     if axis == "neighborhood":
         out = transformer_encoder(
             params, neigh_feat, num_heads, dropout_rate, rng, num_timesteps,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, recurrence=recurrence, rec_params=rec_params,
         )
         return out[:, 0, :]
     elif axis == "node":
@@ -300,6 +342,7 @@ def neighborhood_encoder(
         out = transformer_encoder(
             params, x, num_heads, dropout_rate, rng, num_timesteps,
             key_mask=node_mask, use_pallas=use_pallas,
+            recurrence=recurrence, rec_params=rec_params,
         )
         return out[0, :, :]  # self column
     raise ValueError(f"unknown attention axis {axis!r}")
