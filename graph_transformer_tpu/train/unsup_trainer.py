@@ -94,7 +94,54 @@ class UnsupTrainer:
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, loss
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _train_scan_stacked(params, opt_state, batches: GraphBatch, key, csr):
+            """One epoch as one device program (see SupTrainer): scan over a
+            leading stacked-batch axis; candidate sampling + neighborhood
+            resampling still happen per step on device."""
+
+            def body(carry, inp):
+                p, s = carry
+                b, i = inp
+                step_key = jax.random.fold_in(key, i)
+                k_samp, k_cand, k_drop = jax.random.split(step_key, 3)
+                if on_dev:
+                    neigh = resample_batch_neighbors(
+                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+                    )
+                    b = dataclasses.replace(b, neigh=neigh)
+
+                def loss_fn(pp):
+                    return model.loss(pp, b, k_cand, spec, rng=k_drop, csr=csr)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(grads, s, p)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p, s), loss
+
+            n = batches.labels.shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(n))
+            )
+            return params, opt_state, jnp.sum(losses)
+
         self._train_step = _train_step
+        self._train_scan_stacked = _train_scan_stacked
+
+    def train_epoch_stacked(self) -> float:
+        """:meth:`train_epoch` semantics in one device dispatch."""
+        batches = [self.builder.sample() for _ in range(self.num_batches_per_epoch)]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.opt_state, total = self._train_scan_stacked(
+            self.params, self.opt_state, stacked, sub, self.csr
+        )
+        total = float(total)
+        self.epoch_losses.append(total)
+        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
+            self.lr_scale *= self.cfg.train.lr_decay_gamma
+            self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
+        return total
 
     def train_epoch(self) -> float:
         total = 0.0
@@ -126,7 +173,11 @@ def train_evaluate_unsup(
     best_mean, best_std = 0.0, 0.0
     for epoch in range(1, cfg.train.num_epochs + 1):
         t0 = time.time()
-        loss = trainer.train_epoch()
+        loss = (
+            trainer.train_epoch_stacked()
+            if cfg.train.scan_epochs
+            else trainer.train_epoch()
+        )
         if epoch % cfg.train.eval_every == 0:
             mean, std = trainer.evaluate()
         else:

@@ -90,3 +90,12 @@ def test_train_evaluate_sup_scan_epochs(mutag):
     out = train_evaluate_sup(mutag, cfg, log_fn=lambda *_: None)
     assert len(out["history"]) == 2
     assert 0.0 <= out["best_acc"] <= 1.0
+
+
+def test_unsup_trainer_stacked_epoch(mutag):
+    t = UnsupTrainer(mutag, _cfg())
+    l0 = t.train_epoch_stacked()
+    l1 = t.train_epoch_stacked()
+    assert np.isfinite(l0) and np.isfinite(l1)
+    mean, std = t.evaluate()
+    assert 0.0 <= mean <= 1.0
