@@ -50,7 +50,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--share_timestep_weights", action="store_true",
                    help="Universal-Transformer weight tying across timesteps")
     p.add_argument("--recurrence", default="basic",
-                   choices=["basic", "skip", "highway", "gru", "act"],
+                   choices=["basic", "skip", "highway", "gru", "lstm", "dwa", "act"],
                    help="UT transition function between timesteps "
                         "(non-basic implies weight tying)")
     p.add_argument("--compute_dtype", default="float32",

@@ -288,6 +288,8 @@ def transformer_encoder(
     # unrolling lets XLA fuse across layers; a lax.scan would force dynamic
     # slicing of the stacked params for no benefit at this depth.
     h = x
+    cell = jnp.zeros_like(x) if recurrence == "lstm" else None
+    history = [x] if recurrence == "dwa" else None
     for t in range(T):
         out = layer_at(h, t, split())
         if recurrence == "basic":
@@ -302,6 +304,15 @@ def transformer_encoder(
             from graph_transformer_tpu.ops.ut_recurrence import gru_step
 
             h = gru_step(rec_params, h, out)
+        elif recurrence == "lstm":
+            from graph_transformer_tpu.ops.ut_recurrence import lstm_step
+
+            h, cell = lstm_step(rec_params, h, cell, out)
+        elif recurrence == "dwa":
+            from graph_transformer_tpu.ops.ut_recurrence import dwa_step
+
+            h = dwa_step(rec_params, jnp.stack(history), out)
+            history.append(h)
         else:
             raise ValueError(f"unknown recurrence {recurrence!r}")
     return h

@@ -60,6 +60,30 @@ class GRUParams:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class LSTMParams:
+    w_i: jax.Array  # [2D, D] packed (state; out) -> input gate
+    b_i: jax.Array  # [D]
+    w_f: jax.Array  # [2D, D] -> forget gate
+    b_f: jax.Array
+    w_o: jax.Array  # [2D, D] -> output gate
+    b_o: jax.Array
+    w_c: jax.Array  # [2D, D] -> cell candidate
+    b_c: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DWAParams:
+    """Depth-wise attention: each timestep attends over the stack of all
+    previous states (the t2t ``depthwise_attention`` recurrence)."""
+
+    w_q: jax.Array  # [D, D]
+    w_k: jax.Array  # [D, D]
+    w_v: jax.Array  # [D, D]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class ACTParams:
     w_halt: jax.Array  # [D]
     b_halt: jax.Array  # [] scalar (t2t initializes the halting bias to 1.0)
@@ -92,6 +116,29 @@ def init_recurrence_params(
             w_r=packed(ks[1]), b_r=jnp.zeros((D,), dtype),
             w_h=packed(ks[2]), b_h=jnp.zeros((D,), dtype),
         )
+    if kind == "lstm":
+        ks = jax.random.split(key, 4)
+        D = d_model
+
+        def packed(k):
+            a = _xavier(jax.random.fold_in(k, 0), (D, D), dtype)
+            b = _xavier(jax.random.fold_in(k, 1), (D, D), dtype)
+            return jnp.concatenate([a, b], axis=0)  # [2D, D]
+
+        return LSTMParams(
+            w_i=packed(ks[0]), b_i=jnp.zeros((D,), dtype),
+            # forget bias 1.0 (standard LSTM init, also t2t's default)
+            w_f=packed(ks[1]), b_f=jnp.ones((D,), dtype),
+            w_o=packed(ks[2]), b_o=jnp.zeros((D,), dtype),
+            w_c=packed(ks[3]), b_c=jnp.zeros((D,), dtype),
+        )
+    if kind == "dwa":
+        ks = jax.random.split(key, 3)
+        return DWAParams(
+            w_q=_xavier(ks[0], (d_model, d_model), dtype),
+            w_k=_xavier(ks[1], (d_model, d_model), dtype),
+            w_v=_xavier(ks[2], (d_model, d_model), dtype),
+        )
     if kind == "act":
         return ACTParams(
             w_halt=_xavier(key, (1, d_model), dtype)[0],
@@ -111,6 +158,35 @@ def gru_step(p: GRUParams, state: jax.Array, out: jax.Array) -> jax.Array:
     r = jax.nn.sigmoid(so @ p.w_r + p.b_r)
     cand = jnp.tanh(jnp.concatenate([r * state, out], axis=-1) @ p.w_h + p.b_h)
     return (1.0 - z) * state + z * cand
+
+
+def lstm_step(
+    p: LSTMParams, state: jax.Array, cell: jax.Array, out: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One LSTM transition; returns (new_state, new_cell)."""
+    so = jnp.concatenate([state, out], axis=-1)  # [..., 2D]
+    i = jax.nn.sigmoid(so @ p.w_i + p.b_i)
+    f = jax.nn.sigmoid(so @ p.w_f + p.b_f)
+    o = jax.nn.sigmoid(so @ p.w_o + p.b_o)
+    c = f * cell + i * jnp.tanh(so @ p.w_c + p.b_c)
+    return o * jnp.tanh(c), c
+
+
+def dwa_step(p: DWAParams, history: jax.Array, out: jax.Array) -> jax.Array:
+    """Depth-wise attention over the state history.
+
+    ``history`` [t+1, B, S, D] stacks x₀ and all previous states; the new
+    state is attention of the current layer output (query) over the history
+    (keys/values) — depth is the attention axis, positions stay independent.
+    """
+    q = out @ p.w_q  # [B, S, D]
+    k = history @ p.w_k  # [t+1, B, S, D]
+    v = history @ p.w_v
+    scores = jnp.einsum("bsd,tbsd->tbs", q, k) / jnp.sqrt(
+        jnp.asarray(q.shape[-1], q.dtype)
+    )
+    w = jax.nn.softmax(scores, axis=0)
+    return jnp.einsum("tbs,tbsd->bsd", w, v)
 
 
 def act_encoder(

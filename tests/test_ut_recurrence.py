@@ -35,6 +35,11 @@ def test_init_dispatch():
     assert hw.w_state.shape == (D, D)
     gru = init_recurrence_params(jax.random.key(0), "gru", D)
     assert gru.w_z.shape == (2 * D, D)
+    lstm = init_recurrence_params(jax.random.key(0), "lstm", D)
+    assert lstm.w_i.shape == (2 * D, D)
+    assert float(lstm.b_f[0]) == 1.0  # forget-bias init
+    dwa = init_recurrence_params(jax.random.key(0), "dwa", D)
+    assert dwa.w_q.shape == (D, D)
     act = init_recurrence_params(jax.random.key(0), "act", D)
     assert act.w_halt.shape == (D,)
     with pytest.raises(ValueError):
@@ -63,7 +68,7 @@ def test_gru_step_shapes_and_grad():
     assert np.isfinite(float(f(p)))
 
 
-@pytest.mark.parametrize("kind", ["basic", "skip", "highway", "gru", "act"])
+@pytest.mark.parametrize("kind", ["basic", "skip", "highway", "gru", "lstm", "dwa", "act"])
 def test_encoder_all_recurrences(kind):
     enc = _enc()
     rec = init_recurrence_params(jax.random.key(2), kind, D)
