@@ -11,6 +11,7 @@ from graph_transformer_tpu.ops.attention import (
     neighborhood_encoder,
 )
 from graph_transformer_tpu.ops.sampled_softmax import SampledSoftmaxParams, sampled_softmax_loss
+from graph_transformer_tpu.ops.ut_recurrence import init_recurrence_params, act_encoder
 from graph_transformer_tpu.ops.losses import (
     label_smoothing,
     soft_cross_entropy,
@@ -33,4 +34,6 @@ __all__ = [
     "soft_cross_entropy",
     "supcon_loss",
     "gae_loss",
+    "init_recurrence_params",
+    "act_encoder",
 ]

@@ -1,6 +1,7 @@
 from graph_transformer_tpu.train.optim import make_optimizer, plateau_lr_step
 from graph_transformer_tpu.train.sup_trainer import SupTrainer, train_evaluate_sup
 from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer, train_evaluate_unsup
+from graph_transformer_tpu.train.node_trainer import NodeTrainer, train_evaluate_node
 from graph_transformer_tpu.train.evaluate import (
     logistic_regression_probe,
     tenfold_logistic_accuracy,
@@ -13,6 +14,8 @@ __all__ = [
     "train_evaluate_sup",
     "UnsupTrainer",
     "train_evaluate_unsup",
+    "NodeTrainer",
+    "train_evaluate_node",
     "logistic_regression_probe",
     "tenfold_logistic_accuracy",
 ]
