@@ -65,7 +65,11 @@ def main(argv=None):
     best_mean, best_std = 0.0, 0.0
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
         t0 = time.time()
-        loss = trainer.train_epoch()
+        loss = (
+            trainer.train_epoch_stacked()
+            if cfg.train.scan_epochs
+            else trainer.train_epoch()
+        )
         if epoch % cfg.train.eval_every == 0:
             mean, std = trainer.evaluate()
         else:
