@@ -169,6 +169,41 @@ def _encoder_layer(
     hd = D // H
     compute = x.dtype
 
+    from graph_transformer_tpu.ops.pallas_encoder import (
+        fused_encoder_layer,
+        on_tpu as _on_tpu,
+    )
+
+    # Fully-fused encoder-layer kernel: attention + FFN + both LNs in one
+    # Pallas pass (ops/pallas_encoder.py).  Single-head, unmasked
+    # (neighborhood-axis) attention only; off-TPU the interpret-mode kernel
+    # covers the deterministic path.
+    fused_ok = (
+        use_pallas
+        and H == 1
+        and key_mask is None
+        and (_on_tpu() or rng is None or dropout_rate <= 0.0)
+    )
+    if fused_ok:
+        if rng is not None and dropout_rate > 0.0:
+            rng, sub = jax.random.split(rng)
+            seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+            rate = dropout_rate
+        else:
+            seed, rate = None, 0.0
+        out2d = fused_encoder_layer(
+            x.reshape(B * S, D),
+            p["w_in"], p["b_in"], p["w_out"], p["b_out"],
+            p["ln1_scale"], p["ln1_bias"],
+            p["w_ff1"], p["b_ff1"], p["w_ff2"], p["b_ff2"],
+            p["ln2_scale"], p["ln2_bias"],
+            # tile target 512: smaller tiles lose more to per-grid-step
+            # overhead than they save on [R,R] scores/softmax work
+            # (v5e sweep: full step 11.6 ms @512 vs 13.0 ms @256)
+            seed, S, rate, 512, not _on_tpu(),
+        )
+        return out2d.reshape(B, S, D)
+
     qkv = x @ p["w_in"] + p["b_in"]  # [B, S, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
