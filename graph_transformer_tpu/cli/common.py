@@ -55,6 +55,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(non-basic implies weight tying)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas encoder-layer kernel (TPU; ~2.4x the "
+                        "XLA path on REDDIT-scale batches)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="train each epoch as one device dispatch "
                         "(pre-built stacked batches + lax.scan)")
@@ -90,6 +93,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             share_timestep_weights=args.share_timestep_weights,
             recurrence=args.recurrence,
             compute_dtype=args.compute_dtype,
+            use_pallas=args.use_pallas,
         ),
         train=TrainConfig(
             learning_rate=args.learning_rate,
