@@ -1,0 +1,256 @@
+"""Fold-parallel k-fold cross-validation: all folds train as ONE device
+program per epoch via ``jax.vmap`` over the fold axis.
+
+Why this exists (TPU-native design, no reference equivalent): the reference
+protocol is 10-fold CV at batch_size 4 (``README.md:37-39``), which puts a
+few hundred padded nodes per step on a chip built for tens of thousands —
+the MXU is idle and wall-clock is dominated by per-dispatch latency.  The
+folds are embarrassingly parallel and share every static shape (padding is
+computed from the whole dataset, ``data/batching.py``), so we stack
+(params, opt_state, batches) along a leading fold axis and ``vmap`` the
+stacked-epoch train scan and the cached test-fold eval.  One epoch of ALL
+folds costs one dispatch and ~the same wall-clock as one fold's epoch.
+
+Semantics match the sequential path (``cli/tenfold.py`` looping
+:class:`~graph_transformer_tpu.train.sup_trainer.SupTrainer`) exactly:
+
+- identical per-fold parameter init (the sequential path re-inits every fold
+  from ``cfg.train.seed``, so folds legitimately share one init);
+- identical per-fold batch streams (each fold's ``BatchBuilder`` is seeded
+  with ``cfg.data.seed``, as each sequential ``SupTrainer`` is);
+- identical per-epoch dropout/sampling keys (one chain from
+  ``cfg.train.seed + 1``, as each sequential trainer holds);
+- per-fold plateau LR decay: the injected ``lr_scale`` optimizer
+  hyperparameter becomes a length-F vector under vmap, so each fold decays
+  independently without recompiling (``train/optim.py``).
+
+The only intentional deviation: folds whose train split yields fewer
+batches per epoch than the largest fold's count train the extra batches
+too — batches are independent random subsets drawn with replacement
+(reference semantics, ``train_pytorch_U2GNN_Sup.py:121-126``), so this
+adds at most one extra batch per epoch to ~half the folds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_transformer_tpu.config import ExperimentConfig
+from graph_transformer_tpu.data.batching import BatchBuilder, GraphBatch
+from graph_transformer_tpu.data.splits import stratified_kfold_indices
+from graph_transformer_tpu.data.tu import GraphDataset
+from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
+from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
+from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.train.optim import make_optimizer, plateau_lr_step
+
+
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+
+
+class TenfoldVmapRunner:
+    """Train/evaluate all CV folds simultaneously on one chip.
+
+    ``run()`` returns the per-fold best-epoch test accuracies — the number
+    the reference protocol reports (best test accuracy across epochs per
+    fold, ``train_pytorch_U2GNN_Sup.py:201-213``).
+    """
+
+    def __init__(
+        self,
+        ds: GraphDataset,
+        cfg: ExperimentConfig,
+        num_folds: int = 10,
+        folds: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
+    ):
+        self.ds = ds
+        self.cfg = cfg
+        self.folds = (
+            stratified_kfold_indices(ds.labels, num_folds, seed=0)
+            if folds is None
+            else folds
+        )
+        F = len(self.folds)
+        self.num_folds = F
+
+        self.builders = [
+            BatchBuilder(
+                ds,
+                batch_size=cfg.data.batch_size,
+                num_neighbors=cfg.data.num_neighbors,
+                pad_multiple=cfg.data.pad_multiple,
+                seed=cfg.data.seed,
+                indices=tr,
+            )
+            for tr, _ in self.folds
+        ]
+        self.steps_per_epoch = max(
+            max(1, (len(tr) + cfg.data.batch_size - 1) // cfg.data.batch_size)
+            for tr, _ in self.folds
+        )
+
+        self.model = U2GNNSup(ds.feature_dim, ds.num_classes, cfg.model)
+        params0 = self.model.init(jax.random.key(cfg.train.seed))
+        opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
+        opt_state0 = opt.init(params0)
+        # identical init replicated per fold (matches the sequential path,
+        # which re-inits from the same seed every fold)
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (F,) + x.shape), params0
+        )
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (F,) + jnp.shape(x)),
+            opt_state0,
+        )
+        self.csr = (
+            DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
+        )
+        self._key = jax.random.key(cfg.train.seed + 1)
+        self.epoch_losses = [[] for _ in range(F)]
+        self.lr_scales = np.ones(F, np.float32)
+
+        on_dev = cfg.train.on_device_sampling
+        num_classes = ds.num_classes
+        smoothing = cfg.model.label_smoothing
+        K = cfg.data.num_neighbors
+        total_nodes = ds.num_nodes
+        model = self.model
+
+        def _fold_epoch(params, opt_state, batches: GraphBatch, key, csr):
+            """One fold's epoch: scan over its stacked batches (the same
+            body as SupTrainer._train_scan_stacked)."""
+
+            def body(carry, inp):
+                p, s = carry
+                b, i = inp
+                step_key = jax.random.fold_in(key, i)
+                k_samp, k_drop = jax.random.split(step_key)
+                if on_dev:
+                    neigh = resample_batch_neighbors(
+                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+                    )
+                    b = dataclasses.replace(b, neigh=neigh)
+
+                def loss_fn(pp):
+                    scores = model.apply(pp, b, rng=k_drop)
+                    targets = label_smoothing(b.labels, num_classes, smoothing)
+                    return soft_cross_entropy(scores, targets)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(grads, s, p)
+                p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p, s), loss
+
+            n = batches.labels.shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(n))
+            )
+            return params, opt_state, jnp.sum(losses)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _epoch_all_folds(params_f, opt_f, batches_f, key, csr):
+            # key broadcast: every fold uses the same per-epoch key chain,
+            # exactly as F sequential trainers seeded identically would.
+            return jax.vmap(
+                _fold_epoch, in_axes=(0, 0, 0, None, None)
+            )(params_f, opt_f, batches_f, key, csr)
+
+        @jax.jit
+        def _eval_all_folds(params_f, ebatches_f, mask_f, labels_f):
+            def one_fold(p, ebs, m, labels):
+                def fwd(b):
+                    return model.apply(p, b, rng=None)
+
+                scores = jax.lax.map(fwd, ebs)  # [nb, B, C]
+                pred = jnp.argmax(scores, axis=-1)
+                return jnp.sum((pred == labels) * m)
+
+            return jax.vmap(one_fold)(params_f, ebatches_f, mask_f, labels_f)
+
+        self._epoch_all_folds = _epoch_all_folds
+        self._eval_all_folds = _eval_all_folds
+        self._opt = opt
+        self._eval_stack = None
+
+    # ---------------------------------------------------------------- epochs
+    def _build_epoch_batches(self) -> GraphBatch:
+        """[F, steps, ...] stacked epoch batches (host, numpy)."""
+        per_fold = []
+        for builder in self.builders:
+            bs = [builder.sample() for _ in range(self.steps_per_epoch)]
+            per_fold.append(_stack_trees(bs))
+        return _stack_trees(per_fold)
+
+    def _build_eval_stack(self):
+        per_fold, per_mask = [], []
+        counts = []
+        for _, te in self.folds:
+            counts.append(len(te))
+        for builder, (_, te) in zip(self.builders, self.folds):
+            batches, masks = [], []
+            for batch, n_real in builder.eval_batches(te):
+                batches.append(batch)
+                m = np.zeros(batch.labels.shape[0], np.float32)
+                m[:n_real] = 1.0
+                masks.append(m)
+            per_fold.append(batches)
+            per_mask.append(masks)
+        # pad fold eval-batch counts to the max (repeat last batch, zero mask)
+        nb = max(len(b) for b in per_fold)
+        for batches, masks in zip(per_fold, per_mask):
+            while len(batches) < nb:
+                batches.append(batches[-1])
+                masks.append(np.zeros_like(masks[-1]))
+        stacked = _stack_trees([_stack_trees(b) for b in per_fold])
+        mask = np.stack([np.stack(m) for m in per_mask])  # [F, nb, B]
+        labels = np.asarray(stacked.labels)  # [F, nb, B]
+        self._eval_stack = (stacked, mask, labels, np.asarray(counts))
+
+    def train_epoch(self) -> np.ndarray:
+        """One vmapped epoch across all folds; returns per-fold epoch loss."""
+        batches_f = self._build_epoch_batches()
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.opt_state, losses = self._epoch_all_folds(
+            self.params, self.opt_state, batches_f, sub, self.csr
+        )
+        losses = np.asarray(losses)
+        decayed = False
+        for f in range(self.num_folds):
+            self.epoch_losses[f].append(float(losses[f]))
+            if plateau_lr_step(self.epoch_losses[f], self.cfg.train.plateau_window):
+                self.lr_scales[f] *= self.cfg.train.lr_decay_gamma
+                decayed = True
+        if decayed:
+            self.opt_state.hyperparams["lr_scale"] = jnp.asarray(self.lr_scales)
+        return losses
+
+    def evaluate(self) -> np.ndarray:
+        """Per-fold test accuracy, one dispatch for all folds."""
+        if self._eval_stack is None:
+            self._build_eval_stack()
+        stacked, mask, labels, counts = self._eval_stack
+        correct = np.asarray(
+            self._eval_all_folds(self.params, stacked, mask, labels)
+        )
+        return correct / counts
+
+    def run(self, log_fn=print) -> Tuple[np.ndarray, float, float]:
+        """Full CV: returns (per-fold best accuracies, mean, std)."""
+        best = np.zeros(self.num_folds)
+        for epoch in range(1, self.cfg.train.num_epochs + 1):
+            losses = self.train_epoch()
+            if epoch % self.cfg.train.eval_every == 0:
+                best = np.maximum(best, self.evaluate())
+            if log_fn is not None:
+                log_fn(
+                    f"epoch {epoch:03d} | mean loss {losses.mean():10.2f} | "
+                    f"mean best acc {best.mean():.4f}"
+                )
+        return best, float(best.mean()), float(best.std())

@@ -1,0 +1,82 @@
+"""Fold-vmapped CV runner vs the sequential per-fold trainer.
+
+The vmapped path must reproduce the sequential path exactly: same builders
+(same seed, per-fold indices), same init, same per-epoch key chain — so
+per-fold epoch losses and test accuracies should agree to float tolerance.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.data.splits import stratified_kfold_indices
+from graph_transformer_tpu.train.sup_trainer import SupTrainer
+from graph_transformer_tpu.train.tenfold_vmap import TenfoldVmapRunner
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1, ff_hidden_size=32),
+        train=TrainConfig(num_epochs=3, learning_rate=5e-4),
+    )
+
+
+def test_vmap_matches_sequential(mutag, cfg):
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:3]
+    runner = TenfoldVmapRunner(mutag, cfg, folds=folds)
+
+    seq_losses, seq_accs = [], []
+    for tr, te in folds:
+        trainer = SupTrainer(mutag, cfg, train_idx=tr, test_idx=te)
+        losses, best = [], 0.0
+        for _ in range(cfg.train.num_epochs):
+            losses.append(trainer.train_epoch_stacked())
+            best = max(best, trainer.evaluate())
+        seq_losses.append(losses)
+        seq_accs.append(best)
+
+    # sequential steps_per_epoch can differ by one from the vmapped max;
+    # losses only comparable when equal
+    comparable = all(
+        max(1, (len(tr) + cfg.data.batch_size - 1) // cfg.data.batch_size)
+        == runner.steps_per_epoch
+        for tr, _ in folds
+    )
+
+    # interleave evaluate() exactly as the sequential loop does: eval-batch
+    # neighborhoods draw from the same builder RNG, so the schedules must match
+    vm_losses, best = [], np.zeros(len(folds))
+    for _ in range(cfg.train.num_epochs):
+        vm_losses.append(runner.train_epoch())
+        best = np.maximum(best, runner.evaluate())
+
+    if comparable:
+        vm = np.stack(vm_losses).T  # [F, epochs]
+        assert np.allclose(vm, np.asarray(seq_losses), rtol=2e-3, atol=2e-2)
+    assert np.allclose(best, np.asarray(seq_accs), atol=1e-6)
+
+
+def test_vmap_plateau_decay_is_per_fold(mutag, cfg):
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+    runner = TenfoldVmapRunner(mutag, cfg, folds=folds)
+    # force a plateau on fold 0 only
+    runner.epoch_losses[0] = [1.0] * 5 + [2.0]
+    runner.epoch_losses[1] = [2.0] * 5 + [1.0]
+    from graph_transformer_tpu.train.optim import plateau_lr_step
+
+    assert plateau_lr_step(runner.epoch_losses[0], 5)
+    assert not plateau_lr_step(runner.epoch_losses[1], 5)
+    runner.train_epoch()
+    scales = np.asarray(runner.opt_state.hyperparams["lr_scale"])
+    # fold 0 may decay again depending on the new loss; fold 1 must have
+    # decayed at most once less than fold 0
+    assert scales[0] < 1.0
