@@ -1,9 +1,14 @@
-"""HPO CLI: tune unsupervised U2GNN hyperparameters on a TU dataset.
+"""HPO CLI: tune U2GNN hyperparameters.
 
-The search space mirrors the reference's Ax notebook
-(``find_best_hyperparams_for_dataset.ipynb`` cell 7: num_timesteps,
-sampled_num, num_hidden_layers, log-scale learning_rate; objective =
-10-fold logistic accuracy of the learned embeddings).
+Two pipelines, mirroring the reference's two Ax notebooks:
+
+- ``--pipeline unsup`` (default): unsupervised graph embeddings on a TU
+  dataset (``find_best_hyperparams_for_dataset.ipynb`` cell 7: num_timesteps,
+  sampled_num, num_hidden_layers, log-scale learning_rate; objective =
+  10-fold logistic accuracy of the learned embeddings).
+- ``--pipeline node``: single-graph node-embedding pipeline
+  (``node_embedding_HPO.ipynb``): same space over the node trainer
+  (``node_train_utils.py``); objective = the chosen node eval metric.
 """
 
 from __future__ import annotations
@@ -19,19 +24,23 @@ from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
 
 
 def main(argv=None):
-    parser = base_parser("HPO for unsupervised U2GNN embeddings")
+    parser = base_parser("HPO for U2GNN embeddings (unsup TU / node pipeline)")
     parser.add_argument("--total_trials", default=15, type=int)
     parser.add_argument("--trial_epochs", default=5, type=int,
                         help="epochs per HPO trial")
     parser.add_argument("--results_json", default=None)
+    parser.add_argument("--pipeline", default="unsup", choices=["unsup", "node"])
+    parser.add_argument("--node_dataset", default="cora",
+                        help="node pipeline: dataset name (data/citation.py)")
+    parser.add_argument("--node_model", default="u2gnn",
+                        choices=["u2gnn", "gcn", "gat"])
+    parser.add_argument("--node_eval", default="masks",
+                        choices=["masks", "2fold"])
     args = parser.parse_args(argv)
     base_cfg = config_from_args(args)
-    ds = load_tu_dataset(
-        base_cfg.data.dataset, base_cfg.data.degree_as_tag, base_cfg.data.data_dir
-    )
 
-    def evaluate(params):
-        cfg = base_cfg.replace(
+    def trial_cfg(params):
+        return base_cfg.replace(
             model=dataclasses.replace(
                 base_cfg.model,
                 num_timesteps=int(params["num_timesteps"]),
@@ -44,13 +53,47 @@ def main(argv=None):
                 num_epochs=args.trial_epochs,
             ),
         )
-        trainer = UnsupTrainer(ds, cfg)
-        best = 0.0
-        for _ in range(args.trial_epochs):
-            trainer.train_epoch()
-            mean, _ = trainer.evaluate()
-            best = max(best, mean)
-        return best
+
+    if args.pipeline == "node":
+        from graph_transformer_tpu.data.citation import load_node_dataset
+        from graph_transformer_tpu.train.node_trainer import NodeTrainer
+
+        node_ds = load_node_dataset(args.node_dataset)
+        base_cfg = base_cfg.replace(
+            model=dataclasses.replace(base_cfg.model, model=args.node_model)
+        )
+
+        def evaluate(params):
+            # vocab = node count on a single graph; clamp the candidate count
+            params = dict(
+                params,
+                sampled_num=min(int(params["sampled_num"]), node_ds.num_nodes // 2),
+            )
+            trainer = NodeTrainer(node_ds, trial_cfg(params))
+            best = 0.0
+            for _ in range(args.trial_epochs):
+                trainer.train_epoch()
+                metric = (
+                    trainer.evaluate_masks()
+                    if args.node_eval == "masks"
+                    else trainer.evaluate_2fold()
+                )
+                best = max(best, metric)
+            return best
+
+    else:
+        ds = load_tu_dataset(
+            base_cfg.data.dataset, base_cfg.data.degree_as_tag, base_cfg.data.data_dir
+        )
+
+        def evaluate(params):
+            trainer = UnsupTrainer(ds, trial_cfg(params))
+            best = 0.0
+            for _ in range(args.trial_epochs):
+                trainer.train_epoch()
+                mean, _ = trainer.evaluate()
+                best = max(best, mean)
+            return best
 
     space = [
         {"name": "num_timesteps", "type": "range", "bounds": [1, 6]},
