@@ -24,13 +24,27 @@ def main(argv=None):
         "program per epoch (~10x wall-clock on one chip; the reference "
         "batch sizes leave the MXU idle, so folds are nearly free)",
     )
+    parser.add_argument(
+        "--shard_folds",
+        default=0,
+        type=int,
+        help="with --vmap_folds: shard the fold axis over this many devices "
+        "(embarrassingly parallel over ICI; must divide 10)",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     ds = load_tu_dataset(cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir)
     if args.vmap_folds:
+        import jax
+
         from graph_transformer_tpu.train.tenfold_vmap import TenfoldVmapRunner
 
-        runner = TenfoldVmapRunner(ds, cfg)
+        mesh = None
+        if args.shard_folds > 1:
+            mesh = jax.sharding.Mesh(
+                np.array(jax.devices()[: args.shard_folds]), ("data",)
+            )
+        runner = TenfoldVmapRunner(ds, cfg, mesh=mesh)
         accs, mean, std = runner.run()
         for i, a in enumerate(accs):
             print(f"fold {i}: best acc {a:.4f}")

@@ -69,7 +69,13 @@ class TenfoldVmapRunner:
         cfg: ExperimentConfig,
         num_folds: int = 10,
         folds: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        fold_axis: str = "data",
     ):
+        """``mesh``: optional device mesh; the fold axis is sharded over
+        ``mesh.axis_names[…fold_axis]`` so folds run on distinct chips
+        (GSPMD partitions the vmapped program — there is no cross-fold
+        communication, so scaling is embarrassingly parallel over ICI)."""
         self.ds = ds
         self.cfg = cfg
         self.folds = (
@@ -96,22 +102,50 @@ class TenfoldVmapRunner:
             for tr, _ in self.folds
         )
 
+        if mesh is not None and F % mesh.shape[fold_axis] != 0:
+            raise ValueError(
+                f"fold count {F} must divide evenly over mesh axis "
+                f"{fold_axis!r} ({mesh.shape[fold_axis]} devices)"
+            )
+        self._fold_sharding = (
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(fold_axis)
+            )
+            if mesh is not None
+            else None
+        )
+        self._rep_sharding = (
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            if mesh is not None
+            else None
+        )
+
         self.model = U2GNNSup(ds.feature_dim, ds.num_classes, cfg.model)
         params0 = self.model.init(jax.random.key(cfg.train.seed))
         opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
         opt_state0 = opt.init(params0)
         # identical init replicated per fold (matches the sequential path,
         # which re-inits from the same seed every fold)
-        self.params = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (F,) + x.shape), params0
+        self.params = self._shard(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (F,) + x.shape), params0
+            )
         )
-        self.opt_state = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(jnp.asarray(x), (F,) + jnp.shape(x)),
-            opt_state0,
+        self.opt_state = self._shard(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(jnp.asarray(x), (F,) + jnp.shape(x)),
+                opt_state0,
+            )
         )
         self.csr = (
             DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
         )
+        if mesh is not None and self.csr is not None:
+            # fully replicated over the same device set as the fold shards
+            self.csr = jax.device_put(
+                self.csr,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            )
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses = [[] for _ in range(F)]
         self.lr_scales = np.ones(F, np.float32)
@@ -180,13 +214,19 @@ class TenfoldVmapRunner:
         self._eval_stack = None
 
     # ---------------------------------------------------------------- epochs
+    def _shard(self, tree):
+        """Lay the fold axis out over the mesh (no-op single-device)."""
+        if self._fold_sharding is None:
+            return tree
+        return jax.device_put(tree, self._fold_sharding)
+
     def _build_epoch_batches(self) -> GraphBatch:
         """[F, steps, ...] stacked epoch batches (host, numpy)."""
         per_fold = []
         for builder in self.builders:
             bs = [builder.sample() for _ in range(self.steps_per_epoch)]
             per_fold.append(_stack_trees(bs))
-        return _stack_trees(per_fold)
+        return self._shard(_stack_trees(per_fold))
 
     def _build_eval_stack(self):
         per_fold, per_mask = [], []
@@ -209,14 +249,21 @@ class TenfoldVmapRunner:
                 batches.append(batches[-1])
                 masks.append(np.zeros_like(masks[-1]))
         stacked = _stack_trees([_stack_trees(b) for b in per_fold])
-        mask = np.stack([np.stack(m) for m in per_mask])  # [F, nb, B]
         labels = np.asarray(stacked.labels)  # [F, nb, B]
-        self._eval_stack = (stacked, mask, labels, np.asarray(counts))
+        mask = np.stack([np.stack(m) for m in per_mask])  # [F, nb, B]
+        self._eval_stack = (
+            self._shard(stacked),
+            self._shard(mask),
+            self._shard(labels),
+            np.asarray(counts),
+        )
 
     def train_epoch(self) -> np.ndarray:
         """One vmapped epoch across all folds; returns per-fold epoch loss."""
         batches_f = self._build_epoch_batches()
         self._key, sub = jax.random.split(self._key)
+        if self._rep_sharding is not None:
+            sub = jax.device_put(sub, self._rep_sharding)
         self.params, self.opt_state, losses = self._epoch_all_folds(
             self.params, self.opt_state, batches_f, sub, self.csr
         )
@@ -228,7 +275,9 @@ class TenfoldVmapRunner:
                 self.lr_scales[f] *= self.cfg.train.lr_decay_gamma
                 decayed = True
         if decayed:
-            self.opt_state.hyperparams["lr_scale"] = jnp.asarray(self.lr_scales)
+            self.opt_state.hyperparams["lr_scale"] = self._shard(
+                jnp.asarray(self.lr_scales)
+            )
         return losses
 
     def evaluate(self) -> np.ndarray:

@@ -80,3 +80,29 @@ def test_vmap_plateau_decay_is_per_fold(mutag, cfg):
     # fold 0 may decay again depending on the new loss; fold 1 must have
     # decayed at most once less than fold 0
     assert scales[0] < 1.0
+
+
+def test_vmap_folds_shard_over_mesh(mutag, cfg):
+    """Fold axis sharded over a 2-device mesh reproduces the single-device
+    vmapped run (GSPMD partitions the fold axis; no cross-fold collectives)."""
+    import jax
+
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+    base = TenfoldVmapRunner(mutag, cfg, folds=folds)
+    base_accs, base_mean, _ = base.run(log_fn=None)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharded = TenfoldVmapRunner(mutag, cfg, folds=folds, mesh=mesh)
+    accs, mean, _ = sharded.run(log_fn=None)
+
+    assert np.allclose(accs, base_accs, atol=1e-6)
+    assert mean == pytest.approx(base_mean, abs=1e-6)
+
+
+def test_vmap_folds_mesh_divisibility(mutag, cfg):
+    import jax
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:3]
+    with pytest.raises(ValueError):
+        TenfoldVmapRunner(mutag, cfg, folds=folds, mesh=mesh)
