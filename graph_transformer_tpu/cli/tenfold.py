@@ -31,9 +31,26 @@ def main(argv=None):
         help="with --vmap_folds: shard the fold axis over this many devices "
         "(embarrassingly parallel over ICI; must divide 10)",
     )
+    parser.add_argument(
+        "--cv_on_device",
+        action="store_true",
+        help="run the ENTIRE 10-fold CV as one device dispatch: on-device "
+        "graph selection + batch gather + fanout sampling, folds vmapped, "
+        "epochs and steps scanned, eval and plateau-LR in-program "
+        "(train/cv_ondevice.py). Fastest path; RNG differs from the "
+        "host-sampled runners (statistically equivalent protocol).",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     ds = load_tu_dataset(cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir)
+    if args.cv_on_device:
+        from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+
+        accs, mean, std = run_cv_on_device(ds, cfg)
+        for i, a in enumerate(accs):
+            print(f"fold {i}: best acc {a:.4f}")
+        print(f"10-fold accuracy: {mean:.4f} ± {std:.4f}")
+        return mean, std
     if args.vmap_folds:
         import jax
 

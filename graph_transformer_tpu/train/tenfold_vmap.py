@@ -126,14 +126,15 @@ class TenfoldVmapRunner:
         opt_state0 = opt.init(params0)
         # identical init replicated per fold (matches the sequential path,
         # which re-inits from the same seed every fold)
+        # materialized (not lazy-broadcast) so the jit can donate the buffers
         self.params = self._shard(
             jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (F,) + x.shape), params0
+                lambda x: jnp.tile(x[None], (F,) + (1,) * x.ndim), params0
             )
         )
         self.opt_state = self._shard(
             jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(jnp.asarray(x), (F,) + jnp.shape(x)),
+                lambda x: jnp.tile(jnp.asarray(x)[None], (F,) + (1,) * jnp.ndim(x)),
                 opt_state0,
             )
         )
