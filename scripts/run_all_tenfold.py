@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--datasets", default=",".join(CONFIGS))
     ap.add_argument("--num_epochs", default=50, type=int)
     ap.add_argument("--budget_s", default=10**9, type=float)
+    ap.add_argument("--runner", default="ondevice", choices=["vmap", "ondevice"])
     args = ap.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
 
@@ -80,10 +81,14 @@ def main():
         )
         ds = load_tu_dataset(name)
         t1 = time.time()
-        runner = TenfoldVmapRunner(ds, cfg)
-        accs, mean, std = runner.run(
-            log_fn=lambda s: print(f"  [{name}] {s}", flush=True)
-        )
+        if args.runner == "ondevice":
+            from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+
+            accs, mean, std = run_cv_on_device(ds, cfg)
+        else:
+            accs, mean, std = TenfoldVmapRunner(ds, cfg).run(
+                log_fn=lambda s: print(f"  [{name}] {s}", flush=True)
+            )
         rec = {
             "dataset": name,
             "mean": round(mean, 4),

@@ -54,6 +54,28 @@ GRIDS = {
         "bs16": {"batch_size": 16},
         "deg_tag": {"degree_as_tag": True},
     },
+    # refinement around the strong T=1 signal (K16_T1 screened 0.645)
+    "PTC_T1": {
+        "K16_T1": {"num_neighbors": 16, "num_timesteps": 1},
+        "K8_T1": {"num_neighbors": 8, "num_timesteps": 1},
+        "K4_T1": {"num_neighbors": 4, "num_timesteps": 1},
+        "k2_K16_T1": {"num_hidden_layers": 2, "num_neighbors": 16,
+                      "num_timesteps": 1},
+        "k3_K16_T1": {"num_hidden_layers": 3, "num_neighbors": 16,
+                      "num_timesteps": 1},
+        "K16_T1_lr1e-3": {"num_neighbors": 16, "num_timesteps": 1,
+                          "learning_rate": 1e-3},
+        "K16_T1_lr1e-4": {"num_neighbors": 16, "num_timesteps": 1,
+                          "learning_rate": 1e-4},
+        "K16_T1_drop0": {"num_neighbors": 16, "num_timesteps": 1,
+                         "dropout": 0.0},
+        "K16_T1_ff128": {"num_neighbors": 16, "num_timesteps": 1,
+                         "ff_hidden_size": 128},
+        "K16_T1_deg": {"num_neighbors": 16, "num_timesteps": 1,
+                       "degree_as_tag": True},
+        "K16_T1_100ep": {"num_neighbors": 16, "num_timesteps": 1,
+                         "num_epochs": 100},
+    },
     # base: bs 4, K=8, T=4 (IMDBBINARY-shaped, README.md:37)
     "MUTAG": {
         "readme_base": {},
@@ -74,8 +96,12 @@ GRIDS = {
 
 BASE = {
     "PTC": {"num_neighbors": 16, "num_timesteps": 3},
+    "PTC_T1": {"num_neighbors": 16, "num_timesteps": 3},
     "MUTAG": {"num_neighbors": 8, "num_timesteps": 4},
 }
+
+# grid key -> TU dataset (grids may be refinement phases of one dataset)
+DATASET_OF = {"PTC_T1": "PTC"}
 
 
 def make_cfg(dataset: str, over: dict) -> ExperimentConfig:
@@ -104,9 +130,13 @@ def make_cfg(dataset: str, over: dict) -> ExperimentConfig:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="PTC", choices=sorted(GRIDS))
+    ap.add_argument("--dataset", default="PTC", choices=sorted(GRIDS),
+                    help="grid name (maps to a TU dataset via DATASET_OF)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--budget_s", default=10**9, type=float)
+    ap.add_argument("--runner", default="vmap", choices=["vmap", "ondevice"],
+                    help="'ondevice' = whole CV as one dispatch "
+                    "(train/cv_ondevice.py; fastest)")
     args = ap.parse_args()
     out = args.out or f"runs/sweep_vmap/{args.dataset}.jsonl"
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
@@ -127,13 +157,17 @@ def main():
         if time.time() - t0 > args.budget_s:
             print("budget reached", flush=True)
             break
-        cfg = make_cfg(args.dataset, over)
+        cfg = make_cfg(DATASET_OF.get(args.dataset, args.dataset), over)
         ds = load_tu_dataset(
             cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir
         )
         t1 = time.time()
-        runner = TenfoldVmapRunner(ds, cfg)
-        accs, mean, std = runner.run(log_fn=None)
+        if args.runner == "ondevice":
+            from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+
+            accs, mean, std = run_cv_on_device(ds, cfg)
+        else:
+            accs, mean, std = TenfoldVmapRunner(ds, cfg).run(log_fn=None)
         rec = {
             "name": name,
             "dataset": args.dataset,
