@@ -58,10 +58,16 @@ def run_cv_on_device(
     num_folds: int = 10,
     folds: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
     return_history: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    fold_axis: str = "data",
 ):
     """Full CV in one dispatch; returns ``(best_accs [F], mean, std)``
     (plus ``(epoch_losses, epoch_accs)`` histories [epochs, F] when
-    ``return_history``)."""
+    ``return_history``).
+
+    ``mesh``: optional device mesh — the fold axis is sharded over
+    ``fold_axis`` (embarrassingly parallel, no cross-fold collectives), the
+    dataset/CSR replicated."""
     if folds is None:
         folds = stratified_kfold_indices(ds.labels, num_folds, seed=0)
     F = len(folds)
@@ -202,16 +208,24 @@ def run_cv_on_device(
             per_fold_cv, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
         )(params_f, opt_f, ids_f, p_f, ebs_f, em_f, n_f, key)
 
-    best, eloss, eacc = cv_all_folds(
-        params_f,
-        opt_f,
-        train_ids,
-        train_p,
-        eval_b,
-        eval_m,
-        counts,
-        jax.random.key(cfg.train.seed + 1),
-    )
+    fold_args = (params_f, opt_f, train_ids, train_p, eval_b, eval_m, counts)
+    key = jax.random.key(cfg.train.seed + 1)
+    if mesh is not None:
+        if F % mesh.shape[fold_axis] != 0:
+            raise ValueError(
+                f"fold count {F} must divide evenly over mesh axis "
+                f"{fold_axis!r} ({mesh.shape[fold_axis]} devices)"
+            )
+        shard = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(fold_axis)
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        fold_args = tuple(jax.device_put(a, shard) for a in fold_args)
+        key = jax.device_put(key, rep)
+        dd = jax.device_put(dd, rep)
+        csr = jax.device_put(csr, rep)
+
+    best, eloss, eacc = cv_all_folds(*fold_args, key)
     best = np.asarray(best)
     if return_history:
         return (

@@ -48,3 +48,23 @@ def test_full_cv_one_dispatch(mutag):
     assert np.all(eloss[-1] < eloss[0])
     # best-accuracy carry is the running max of the eval trajectory
     assert np.allclose(best, eacc.max(axis=0))
+
+
+def test_full_cv_sharded_folds_matches_unsharded(mutag):
+    """The one-dispatch CV with the fold axis over a 2-device mesh must
+    reproduce the single-device run (identical program, identical RNG)."""
+    import jax
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1, ff_hidden_size=32),
+        train=TrainConfig(num_epochs=3, learning_rate=5e-4),
+    )
+    from graph_transformer_tpu.data.splits import stratified_kfold_indices
+
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+    base, base_mean, _ = run_cv_on_device(mutag, cfg, folds=folds)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    accs, mean, _ = run_cv_on_device(mutag, cfg, folds=folds, mesh=mesh)
+    assert np.allclose(accs, base, atol=1e-6)
+    assert mean == pytest.approx(base_mean, abs=1e-6)
