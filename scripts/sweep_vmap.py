@@ -75,6 +75,15 @@ GRIDS = {
                        "degree_as_tag": True},
         "K16_T1_100ep": {"num_neighbors": 16, "num_timesteps": 1,
                          "num_epochs": 100},
+        # combinations of the phase-1 winners (T=1, degree_as_tag, ff 128)
+        "K16_T1_deg_ff128": {"num_neighbors": 16, "num_timesteps": 1,
+                             "degree_as_tag": True, "ff_hidden_size": 128},
+        "K8_T1_deg": {"num_neighbors": 8, "num_timesteps": 1,
+                      "degree_as_tag": True},
+        "K16_T1_deg_lr1e-4": {"num_neighbors": 16, "num_timesteps": 1,
+                              "degree_as_tag": True, "learning_rate": 1e-4},
+        "K16_T2_deg": {"num_neighbors": 16, "num_timesteps": 2,
+                       "degree_as_tag": True},
     },
     # base: bs 4, K=8, T=4 (IMDBBINARY-shaped, README.md:37)
     "MUTAG": {
