@@ -85,6 +85,18 @@ GRIDS = {
         "K16_T2_deg": {"num_neighbors": 16, "num_timesteps": 2,
                        "degree_as_tag": True},
     },
+    # base: bs 4, K=8, T=4, ff 1024, lr 5e-4 (README.md:37)
+    "IMDBBINARY": {
+        "readme_base": {},
+        "K8_T1": {"num_timesteps": 1},
+        "K8_T2": {"num_timesteps": 2},
+        "K16_T4": {"num_neighbors": 16},
+        "K16_T1": {"num_neighbors": 16, "num_timesteps": 1},
+        "K4_T4": {"num_neighbors": 4},
+        "k2_K8_T4": {"num_hidden_layers": 2},
+        "lr1e-4": {"learning_rate": 1e-4},
+        "ff128": {"ff_hidden_size": 128},
+    },
     # base: bs 4, K=8, T=4 (IMDBBINARY-shaped, README.md:37)
     "MUTAG": {
         "readme_base": {},
@@ -107,6 +119,7 @@ BASE = {
     "PTC": {"num_neighbors": 16, "num_timesteps": 3},
     "PTC_T1": {"num_neighbors": 16, "num_timesteps": 3},
     "MUTAG": {"num_neighbors": 8, "num_timesteps": 4},
+    "IMDBBINARY": {"num_neighbors": 8, "num_timesteps": 4},
 }
 
 # grid key -> TU dataset (grids may be refinement phases of one dataset)
