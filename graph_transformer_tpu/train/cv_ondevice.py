@@ -202,7 +202,9 @@ def run_cv_on_device(
         )
         return best, eloss, eacc
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # no donation: params/opt state are consumed by the scan and only the
+    # accuracy summaries come back, so there is no output to alias into
+    @jax.jit
     def cv_all_folds(params_f, opt_f, ids_f, p_f, ebs_f, em_f, n_f, key):
         return jax.vmap(
             per_fold_cv, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
