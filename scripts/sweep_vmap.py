@@ -97,12 +97,18 @@ GRIDS = {
         "lr1e-4": {"learning_rate": 1e-4},
         "ff128": {"ff_hidden_size": 128},
     },
-    # base: bs 4, K=8, T=4 (IMDBBINARY-shaped, README.md:37)
+    # base: bs 4, K=8, T=4 (IMDBBINARY-shaped, README.md:37).  The paper's
+    # stated search space is T in 1..6, K in {4,8,16}, k in {1,2,3}
+    # (arXiv:1909.11855 sec 4.2); shallow-T and degree_as_tag won on PTC, so
+    # those combos are included here too.
     "MUTAG": {
         "readme_base": {},
         "K16_T3": {"num_neighbors": 16, "num_timesteps": 3},
         "K16_T6": {"num_neighbors": 16, "num_timesteps": 6},
         "K4_T2": {"num_neighbors": 4, "num_timesteps": 2},
+        "K4_T1": {"num_neighbors": 4, "num_timesteps": 1},
+        "K8_T1": {"num_timesteps": 1},
+        "K16_T1": {"num_neighbors": 16, "num_timesteps": 1},
         "k2_K8_T4": {"num_hidden_layers": 2},
         "k3_K8_T4": {"num_hidden_layers": 3},
         "k2_K16_T3": {"num_hidden_layers": 2, "num_neighbors": 16,
@@ -112,6 +118,9 @@ GRIDS = {
         "drop0": {"dropout": 0.0},
         "bs16": {"batch_size": 16},
         "ff128": {"ff_hidden_size": 128},
+        "deg_tag": {"degree_as_tag": True},
+        "K8_T1_deg": {"num_timesteps": 1, "degree_as_tag": True},
+        "100ep": {"num_epochs": 100},
     },
 }
 
