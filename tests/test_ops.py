@@ -141,3 +141,31 @@ def test_gae_loss_prefers_reconstruction(rng):
     l_bad = float(gae_loss([bad], adj, 1.0))
     # bad embeddings give sigmoid ~0.5 everywhere -> BCE ~log 2
     assert abs(l_bad - np.log(2)) < 0.05
+
+
+def test_smaller_encoder_layer_semantics(rng):
+    """Vestigial ``TransformerEncoderLayerSmaller`` (layers.py:96-176):
+    linear(d->ff) -> relu -> 1-head self-attention in ff dims -> +bias; no
+    layer norm, no residual.  Checked against a dense numpy recompute."""
+    from graph_transformer_tpu.ops.attention import (
+        init_smaller_encoder_layer,
+        smaller_encoder_layer,
+    )
+
+    B, S, D, F = 3, 5, 4, 8
+    key = jax.random.PRNGKey(0)
+    p = init_smaller_encoder_layer(key, D, F)
+    x = rng.standard_normal((B, S, D)).astype(np.float32)
+    out = np.asarray(smaller_encoder_layer(p, jnp.asarray(x)))  # eval: no rng
+    assert out.shape == (B, S, F)
+
+    h = np.maximum(x @ np.asarray(p.w_lin) + np.asarray(p.b_lin), 0.0)
+    qkv = h @ np.asarray(p.attn.w_in) + np.asarray(p.attn.b_in)
+    q, k, v = np.split(qkv, 3, axis=-1)
+    scores = q @ k.transpose(0, 2, 1) / np.sqrt(F)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    ctx = attn @ v
+    want = ctx @ np.asarray(p.attn.w_out) + np.asarray(p.attn.b_out)
+    want = want + np.asarray(p.bias)
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
