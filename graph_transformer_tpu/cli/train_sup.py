@@ -57,6 +57,12 @@ def main(argv=None):
             if extra:
                 start_epoch = int(extra.get("epoch", 0)) + 1
                 trainer.epoch_losses = list(extra.get("losses", []))
+                # rebuild the plateau-step count from the loss history so
+                # the StepLR gating continues where it left off
+                for i in range(len(trainer.epoch_losses)):
+                    trainer.lr_scale = trainer.sched.update(
+                        trainer.epoch_losses[: i + 1]
+                    )
             print(f"# resumed from {path} at epoch {start_epoch}")
 
     best_acc = 0.0
@@ -69,7 +75,11 @@ def main(argv=None):
         line = f"epoch {epoch:03d} | loss {loss:10.2f} | test acc {acc:.5f} | {dt:.2f}s"
         print(line)
         with open(acc_path, "a") as f:
-            f.write(f"{epoch}\t{acc:.5f}\n")
+            # reference line format (values ×100,
+            # train_pytorch_U2GNN_Sup.py:212)
+            f.write(
+                f"epoch {epoch} fold {args.fold_idx} acc {acc * 100}%\n"
+            )
         if cfg.train.checkpoint_every and epoch % cfg.train.checkpoint_every == 0:
             save_checkpoint(
                 ckpt_dir, epoch, trainer.params, trainer.opt_state,

@@ -60,6 +60,12 @@ def main(argv=None):
             if extra:
                 start_epoch = int(extra.get("epoch", 0)) + 1
                 trainer.epoch_losses = list(extra.get("losses", []))
+                # rebuild the plateau-step count from the loss history so
+                # the StepLR gating continues where it left off
+                for i in range(len(trainer.epoch_losses)):
+                    trainer.lr_scale = trainer.sched.update(
+                        trainer.epoch_losses[: i + 1]
+                    )
             print(f"# resumed from {path} at epoch {start_epoch}")
 
     best_mean, best_std = 0.0, 0.0
@@ -80,7 +86,9 @@ def main(argv=None):
         print(f"epoch {epoch:03d} | loss {loss:12.2f} | "
               f"10-fold acc {mean:.5f} ± {std:.5f} | {dt:.2f}s")
         with open(acc_path, "a") as f:
-            f.write(f"{epoch}\t{mean:.5f}\t{std:.5f}\n")
+            # reference line format (values ×100,
+            # train_pytorch_U2GNN_UnSup.py:213)
+            f.write(f"epoch {epoch} mean: {mean * 100} std: {std * 100}\n")
         if cfg.train.checkpoint_every and epoch % cfg.train.checkpoint_every == 0:
             save_checkpoint(
                 ckpt_dir, epoch, trainer.params, trainer.opt_state,

@@ -430,9 +430,18 @@ def smaller_encoder_layer(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[B, S, F] — semantics of ``TransformerEncoderLayerSmaller.forward``
-    (``layers.py:152-176``)."""
+    (``layers.py:152-176``).  In training mode the reference's
+    ``nn.MultiheadAttention(dropout=dropout)`` (``layers.py:119``) also drops
+    attention weights, so an rng is split between the attention-weight
+    dropout and the output dropout."""
     h = jax.nn.relu(x @ p.w_lin + p.b_lin)
-    out = multihead_attention(p.attn, h, num_heads=num_heads)
     if rng is not None:
-        out = _dropout(out, dropout_rate, rng)
+        k_attn, k_out = jax.random.split(rng)
+    else:
+        k_attn = k_out = None
+    out = multihead_attention(
+        p.attn, h, num_heads=num_heads, dropout_rate=dropout_rate, rng=k_attn
+    )
+    if k_out is not None:
+        out = _dropout(out, dropout_rate, k_out)
     return out + p.bias

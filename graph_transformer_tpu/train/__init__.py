@@ -1,4 +1,8 @@
-from graph_transformer_tpu.train.optim import make_optimizer, plateau_lr_step
+from graph_transformer_tpu.train.optim import (
+    PlateauStepLR,
+    make_optimizer,
+    plateau_lr_step,
+)
 from graph_transformer_tpu.train.sup_trainer import SupTrainer, train_evaluate_sup
 from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer, train_evaluate_unsup
 from graph_transformer_tpu.train.node_trainer import NodeTrainer, train_evaluate_node
@@ -10,6 +14,7 @@ from graph_transformer_tpu.train.evaluate import (
 __all__ = [
     "make_optimizer",
     "plateau_lr_step",
+    "PlateauStepLR",
     "SupTrainer",
     "train_evaluate_sup",
     "UnsupTrainer",

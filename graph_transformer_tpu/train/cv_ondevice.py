@@ -145,7 +145,7 @@ def run_cv_on_device(
     # --------------------------- the one device program -------------------
     def per_fold_cv(params, opt_state, ids, p_sel, ebs, emask, n_test, key):
         def epoch_body(carry, e):
-            params, opt_state, best, hist = carry
+            params, opt_state, best, hist, n_plateau = carry
             ekey = jax.random.fold_in(key, e)
 
             def step(c, i):
@@ -176,10 +176,17 @@ def run_cv_on_device(
             )
             epoch_loss = jnp.sum(losses)
 
-            # plateau StepLR: fire iff epoch > W and loss > mean(prev W)
+            # plateau-gated StepLR: the plateau condition (epoch > W and
+            # loss > mean(prev W)) triggers a scheduler .step(); the LR
+            # decays only once per `steps` (= batches/epoch) accumulated
+            # steps — torch StepLR(step_size=num_batches_per_epoch)
+            # semantics (train_pytorch_U2GNN_Sup.py:146-147,209-210;
+            # see optim.PlateauStepLR).
             fired = (e >= W) & (epoch_loss > jnp.mean(hist))
-            scale = opt_state.hyperparams["lr_scale"] * jnp.where(
-                fired, gamma, 1.0
+            n_plateau = n_plateau + fired.astype(jnp.int32)
+            scale = jnp.power(
+                jnp.asarray(gamma, jnp.float32),
+                (n_plateau // steps).astype(jnp.float32),
             )
             opt_state = opt_state._replace(
                 hyperparams={**opt_state.hyperparams, "lr_scale": scale}
@@ -194,11 +201,13 @@ def run_cv_on_device(
             pred = jnp.argmax(scores, axis=-1)
             acc = jnp.sum((pred == ebs.labels) * emask) / n_test
             best = jnp.maximum(best, acc)
-            return (params, opt_state, best, hist), (epoch_loss, acc)
+            return (params, opt_state, best, hist, n_plateau), (epoch_loss, acc)
 
         hist0 = jnp.full((W,), _BIG, jnp.float32)
-        (params, opt_state, best, _), (eloss, eacc) = jax.lax.scan(
-            epoch_body, (params, opt_state, 0.0, hist0), jnp.arange(num_epochs)
+        (params, opt_state, best, _, _), (eloss, eacc) = jax.lax.scan(
+            epoch_body,
+            (params, opt_state, 0.0, hist0, jnp.asarray(0, jnp.int32)),
+            jnp.arange(num_epochs),
         )
         return best, eloss, eacc
 

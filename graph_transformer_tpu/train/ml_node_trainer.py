@@ -28,7 +28,7 @@ from graph_transformer_tpu.models.multilayer import (
 from graph_transformer_tpu.train.evaluate import logistic_regression_probe
 from graph_transformer_tpu.train.optim import (
     make_optimizer,
-    plateau_lr_step,
+    PlateauStepLR,
     set_lr_scale,
 )
 from graph_transformer_tpu.utils.laplacian import (
@@ -58,6 +58,12 @@ class MultiplexNodeTrainer:
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
+        # full-graph training: reference num_batches_per_epoch=1
+        # (ml_node_train_utils.py:285) → StepLR(step_size=1) decays on
+        # every plateau epoch.
+        self.sched = PlateauStepLR(
+            1, cfg.train.lr_decay_gamma, cfg.train.plateau_window
+        )
 
         model, opt = self.model, self.opt
 
@@ -86,8 +92,9 @@ class MultiplexNodeTrainer:
         )
         loss = float(loss)
         self.epoch_losses.append(loss)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return loss
 

@@ -35,7 +35,7 @@ from graph_transformer_tpu.sampling.neighbors import (
 from graph_transformer_tpu.train.evaluate import logistic_regression_probe
 from graph_transformer_tpu.train.optim import (
     make_optimizer,
-    plateau_lr_step,
+    PlateauStepLR,
     set_lr_scale,
 )
 from graph_transformer_tpu.utils.metrics import eval_from_embeddings
@@ -78,6 +78,12 @@ class NodeTrainer:
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
+        # full-graph training: the reference sets num_batches_per_epoch=1
+        # (node_train_utils.py:199) so StepLR(step_size=1) decays on every
+        # plateau epoch — unlike the graph-level trainers.
+        self.sched = PlateauStepLR(
+            1, cfg.train.lr_decay_gamma, cfg.train.plateau_window
+        )
 
         # one static whole-graph batch; neighborhoods resample on device
         self.batch = whole_dataset_batch(
@@ -132,8 +138,9 @@ class NodeTrainer:
         )
         loss = float(loss)
         self.epoch_losses.append(loss)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return loss
 

@@ -30,8 +30,8 @@ from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
 from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
 from graph_transformer_tpu.train.optim import (
+    PlateauStepLR,
     make_optimizer,
-    plateau_lr_step,
     set_lr_scale,
 )
 
@@ -70,6 +70,11 @@ class SupTrainer:
         self.lr_scale = 1.0
         self.num_batches_per_epoch = max(
             1, (len(train_idx) + cfg.data.batch_size - 1) // cfg.data.batch_size
+        )
+        self.sched = PlateauStepLR(
+            self.num_batches_per_epoch,
+            cfg.train.lr_decay_gamma,
+            cfg.train.plateau_window,
         )
 
         on_dev = cfg.train.on_device_sampling
@@ -204,8 +209,9 @@ class SupTrainer:
             )
             total += float(loss)
         self.epoch_losses.append(total)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return total
 
@@ -220,8 +226,9 @@ class SupTrainer:
         )
         total = float(total)
         self.epoch_losses.append(total)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return total
 

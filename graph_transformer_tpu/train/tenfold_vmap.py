@@ -48,7 +48,7 @@ from graph_transformer_tpu.data.tu import GraphDataset
 from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
 from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
-from graph_transformer_tpu.train.optim import make_optimizer, plateau_lr_step
+from graph_transformer_tpu.train.optim import PlateauStepLR, make_optimizer
 
 
 def _stack_trees(trees):
@@ -150,6 +150,16 @@ class TenfoldVmapRunner:
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses = [[] for _ in range(F)]
         self.lr_scales = np.ones(F, np.float32)
+        # reference StepLR gating: step_size = the fold's own batches/epoch
+        # (train_pytorch_U2GNN_Sup.py:146-147; see optim.PlateauStepLR)
+        self.scheds = [
+            PlateauStepLR(
+                max(1, (len(tr) + cfg.data.batch_size - 1) // cfg.data.batch_size),
+                cfg.train.lr_decay_gamma,
+                cfg.train.plateau_window,
+            )
+            for tr, _ in self.folds
+        ]
 
         on_dev = cfg.train.on_device_sampling
         num_classes = ds.num_classes
@@ -272,8 +282,9 @@ class TenfoldVmapRunner:
         decayed = False
         for f in range(self.num_folds):
             self.epoch_losses[f].append(float(losses[f]))
-            if plateau_lr_step(self.epoch_losses[f], self.cfg.train.plateau_window):
-                self.lr_scales[f] *= self.cfg.train.lr_decay_gamma
+            new_scale = self.scheds[f].update(self.epoch_losses[f])
+            if new_scale != self.lr_scales[f]:
+                self.lr_scales[f] = new_scale
                 decayed = True
         if decayed:
             self.opt_state.hyperparams["lr_scale"] = self._shard(

@@ -34,8 +34,8 @@ from graph_transformer_tpu.train.evaluate import (
     tenfold_logistic_accuracy,
 )
 from graph_transformer_tpu.train.optim import (
+    PlateauStepLR,
     make_optimizer,
-    plateau_lr_step,
     set_lr_scale,
 )
 
@@ -70,6 +70,11 @@ class UnsupTrainer:
         self.lr_scale = 1.0
         self.num_batches_per_epoch = max(
             1, (ds.num_graphs + cfg.data.batch_size - 1) // cfg.data.batch_size
+        )
+        self.sched = PlateauStepLR(
+            self.num_batches_per_epoch,
+            cfg.train.lr_decay_gamma,
+            cfg.train.plateau_window,
         )
 
         model, opt, spec = self.model, self.opt, self.spec
@@ -138,8 +143,9 @@ class UnsupTrainer:
         )
         total = float(total)
         self.epoch_losses.append(total)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return total
 
@@ -153,8 +159,9 @@ class UnsupTrainer:
             )
             total += float(loss)
         self.epoch_losses.append(total)
-        if plateau_lr_step(self.epoch_losses, self.cfg.train.plateau_window):
-            self.lr_scale *= self.cfg.train.lr_decay_gamma
+        new_scale = self.sched.update(self.epoch_losses)
+        if new_scale != self.lr_scale:
+            self.lr_scale = new_scale
             self.opt_state = set_lr_scale(self.opt_state, self.lr_scale)
         return total
 

@@ -169,3 +169,41 @@ def test_smaller_encoder_layer_semantics(rng):
     want = ctx @ np.asarray(p.attn.w_out) + np.asarray(p.attn.b_out)
     want = want + np.asarray(p.bias)
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+
+def test_smaller_encoder_layer_training_mode_attention_dropout(rng):
+    """Training mode applies dropout both to the attention weights (the
+    reference's nn.MultiheadAttention(dropout=dropout), layers.py:119) and
+    to the output (layers.py:171): rate 0 under an rng must equal eval mode,
+    and a positive rate must perturb more than output-dropout alone could
+    (some positions survive output dropout yet still differ)."""
+    from graph_transformer_tpu.ops.attention import (
+        init_smaller_encoder_layer,
+        smaller_encoder_layer,
+    )
+
+    B, S, D, F = 3, 5, 4, 8
+    key = jax.random.PRNGKey(0)
+    p = init_smaller_encoder_layer(key, D, F)
+    x = jnp.asarray(rng.standard_normal((B, S, D)).astype(np.float32))
+    ev = np.asarray(smaller_encoder_layer(p, x))
+    drop_key = jax.random.PRNGKey(7)
+    same = np.asarray(
+        smaller_encoder_layer(p, x, dropout_rate=0.0, rng=drop_key)
+    )
+    np.testing.assert_allclose(same, ev, rtol=1e-6, atol=1e-6)
+
+    tr = np.asarray(
+        smaller_encoder_layer(p, x, dropout_rate=0.5, rng=drop_key)
+    )
+    # reconstruct what output-dropout-ONLY would produce with the same key
+    # split; training output must differ from it because the attention
+    # weights were also dropped before the value matmul
+    from graph_transformer_tpu.ops.attention import _dropout
+
+    _, k_out = jax.random.split(drop_key)
+    bias = np.asarray(p.bias)
+    out_only = np.asarray(
+        _dropout(jnp.asarray(ev - bias), 0.5, k_out)
+    ) + bias
+    assert not np.allclose(tr, out_only)

@@ -66,6 +66,9 @@ def test_vmap_matches_sequential(mutag, cfg):
 
 
 def test_vmap_plateau_decay_is_per_fold(mutag, cfg):
+    """Per-fold StepLR gating: a decay fires only once the fold accumulates
+    step_size (= its batches/epoch) plateau steps; each fold counts its own
+    (train_pytorch_U2GNN_Sup.py:146-147,209-210)."""
     folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
     runner = TenfoldVmapRunner(mutag, cfg, folds=folds)
     # force a plateau on fold 0 only
@@ -75,11 +78,19 @@ def test_vmap_plateau_decay_is_per_fold(mutag, cfg):
 
     assert plateau_lr_step(runner.epoch_losses[0], 5)
     assert not plateau_lr_step(runner.epoch_losses[1], 5)
+    # pre-load fold 0's scheduler to one step below the decay boundary so
+    # its next plateau epoch crosses it; fold 1 stays at zero steps
+    runner.scheds[0].num_steps = runner.scheds[0].step_size - 1
+    # make the upcoming epoch's loss a guaranteed plateau for fold 0
+    runner.epoch_losses[0] = [-1e30] * 5
+    runner.epoch_losses[1] = [1e30] * 5
     runner.train_epoch()
     scales = np.asarray(runner.opt_state.hyperparams["lr_scale"])
-    # fold 0 may decay again depending on the new loss; fold 1 must have
-    # decayed at most once less than fold 0
-    assert scales[0] < 1.0
+    assert scales[0] == pytest.approx(cfg.train.lr_decay_gamma)
+    assert scales[1] == pytest.approx(1.0)
+    # a single plateau step alone (fold 1 even if it fired) must NOT decay:
+    # its counter is far below step_size
+    assert runner.scheds[1].num_steps < runner.scheds[1].step_size
 
 
 def test_vmap_folds_shard_over_mesh(mutag, cfg):

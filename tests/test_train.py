@@ -9,7 +9,7 @@ from graph_transformer_tpu.config import (
     ModelConfig,
     TrainConfig,
 )
-from graph_transformer_tpu.train.optim import plateau_lr_step
+from graph_transformer_tpu.train.optim import PlateauStepLR, plateau_lr_step
 from graph_transformer_tpu.train.sup_trainer import SupTrainer
 from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
 
@@ -27,6 +27,38 @@ def test_plateau_rule():
     assert not plateau_lr_step([5, 4, 3, 2, 1], window=5)  # too short
     assert plateau_lr_step([5, 4, 3, 2, 1, 9], window=5)
     assert not plateau_lr_step([5, 4, 3, 2, 1, 0.5], window=5)
+
+
+def test_plateau_step_lr_gating():
+    """torch StepLR(step_size=num_batches_per_epoch) semantics: the decay
+    fires once per `step_size` plateau-triggered scheduler steps — NOT on
+    every plateau epoch (train_pytorch_U2GNN_Sup.py:146-147,209-210)."""
+    sched = PlateauStepLR(step_size=3, gamma=0.1, window=2)
+    hist = [10.0, 10.0]
+    assert sched.update(hist) == 1.0  # too short to fire
+    # three consecutive plateau epochs -> three scheduler steps -> one decay
+    hist.append(20.0)
+    assert sched.update(hist) == 1.0  # 1 step, 1 // 3 == 0
+    hist.append(30.0)
+    assert sched.update(hist) == 1.0  # 2 steps
+    hist.append(40.0)
+    assert sched.update(hist) == pytest.approx(0.1)  # 3 steps -> decay
+    # improving epoch: no step, scale unchanged
+    hist.append(0.1)
+    assert sched.update(hist) == pytest.approx(0.1)
+
+
+def test_plateau_step_lr_never_fires_in_reference_regime():
+    """With step_size = num_batches_per_epoch (e.g. 43 for a MUTAG fold at
+    batch 4), a 50-epoch run can accumulate at most 45 plateau steps -> the
+    LR never decays.  The reference effectively trains at constant LR."""
+    sched = PlateauStepLR(step_size=43, gamma=0.1, window=5)
+    hist = []
+    for e in range(30):
+        hist.append(float(100 + e))  # monotonically worse: plateau each epoch
+        scale = sched.update(hist)
+    assert scale == 1.0
+    assert sched.num_steps == 30 - 5  # fires from epoch 6 on (len > window)
 
 
 def test_sup_trainer_loss_decreases(mutag):
