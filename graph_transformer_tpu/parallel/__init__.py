@@ -1,3 +1,12 @@
+from graph_transformer_tpu.parallel.edge_partition import (
+    HaloPlan,
+    build_halo_plan,
+    halo_gather,
+    init_halo_unsup_params,
+    make_halo_train_step,
+    make_shard_map_train_step,
+    partition_graphs_by_edges,
+)
 from graph_transformer_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from graph_transformer_tpu.parallel.spmd import (
     batch_pspec,
@@ -8,6 +17,13 @@ from graph_transformer_tpu.parallel.spmd import (
 )
 
 __all__ = [
+    "HaloPlan",
+    "build_halo_plan",
+    "halo_gather",
+    "init_halo_unsup_params",
+    "make_halo_train_step",
+    "make_shard_map_train_step",
+    "partition_graphs_by_edges",
     "make_mesh",
     "mesh_shape_for",
     "batch_pspec",

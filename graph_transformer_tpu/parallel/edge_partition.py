@@ -249,3 +249,163 @@ def halo_gather(
     export = local_vecs[plan_export_idx[s]]  # [H, D]
     stack = jax.lax.all_gather(export, axis_name)  # [S, H, D]
     return stack[plan_import_src, plan_import_row]  # [Nl, K+1, D]
+
+
+# ------------------------------------------------- regime-2 full train step
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HaloUnsupParams:
+    """Parameters of the node-partitioned unsupervised U2GNN: k encoder
+    stacks + the sampled-softmax output-embedding table (replicated)."""
+
+    encoders: Tuple  # k × TransformerEncoderParams
+    ss: Any  # SampledSoftmaxParams [total_nodes, D]
+
+
+def init_halo_unsup_params(
+    key: jax.Array,
+    num_layers: int,
+    feature_dim: int,
+    ff_hidden: int,
+    total_nodes: int,
+    num_timesteps: int = 1,
+) -> HaloUnsupParams:
+    from graph_transformer_tpu.ops.attention import init_encoder_params
+    from graph_transformer_tpu.ops.sampled_softmax import (
+        init_sampled_softmax_params,
+    )
+
+    encoders = tuple(
+        init_encoder_params(
+            jax.random.fold_in(key, i), num_timesteps, feature_dim, ff_hidden
+        )
+        for i in range(num_layers)
+    )
+    ss = init_sampled_softmax_params(
+        jax.random.fold_in(key, 999), total_nodes, feature_dim
+    )
+    return HaloUnsupParams(encoders=encoders, ss=ss)
+
+
+def halo_unsup_forward_local(
+    params: HaloUnsupParams,
+    x_local: jax.Array,  # [Nl, D] this shard's node features
+    plan_export_idx: jax.Array,  # [S, H] full table (replicated)
+    plan_import_src: jax.Array,  # [Nl, K+1] this shard's slice
+    plan_import_row: jax.Array,  # [Nl, K+1]
+    num_timesteps: int,
+    rng: Optional[jax.Array] = None,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Shard-local node-partitioned U2GNN encoder forward: per layer, one
+    halo exchange (``all_gather`` of the export buffer) re-gathers the
+    current node vectors into [Nl, K+1, D] neighborhoods, then the
+    neighborhood attention runs purely locally.  This is the transductive
+    REDDIT-scale regime the reference could never reach (single device,
+    ``train_pytorch_U2GNN_UnSup.py``); neighborhoods stay fixed within the
+    step so one :class:`HaloPlan` serves every layer.
+
+    Must run inside ``shard_map`` over ``axis_name``.  Returns updated self
+    vectors [Nl, D].
+    """
+    from graph_transformer_tpu.ops.attention import neighborhood_encoder
+
+    h = x_local
+    for i, enc in enumerate(params.encoders):
+        if rng is not None:
+            rng, r_enc = jax.random.split(rng)
+        else:
+            r_enc = None
+        neigh_vecs = halo_gather(
+            h, plan_export_idx, plan_import_src, plan_import_row, axis_name
+        )  # [Nl, K+1, D]
+        h = neighborhood_encoder(
+            enc,
+            neigh_vecs,
+            dropout_rate=0.5,
+            rng=r_enc,
+            num_timesteps=num_timesteps,
+        )
+    return h
+
+
+def make_halo_train_step(
+    opt,
+    mesh: Mesh,
+    total_nodes: int,
+    nsampled: int,
+    num_timesteps: int = 1,
+    axis_name: str = "data",
+    donate: bool = True,
+    deterministic: bool = False,
+):
+    """Regime-2 FULL training step: node-partitioned U2GNN encoder with
+    per-layer halo exchange + sampled-softmax objective + gradient ``psum``.
+
+    Input layout: ``x`` [N, D] node features range-partitioned over
+    ``axis_name`` (shard s owns rows ``s·Nl .. (s+1)·Nl``), ``plan`` a
+    :class:`HaloPlan` for the step's sampled neighborhoods, params
+    replicated.  Each shard computes the sampled-softmax loss of its own
+    nodes (labels = their global ids, one shared candidate draw — matching
+    the single-device semantics where one candidate set serves the whole
+    batch, ``model_U2GNN_Unsup_multi.py:51-58``), then grads/losses
+    ``psum`` over ICI.  Only the [H, D] export buffers ever cross chips.
+    """
+    from jax import shard_map
+
+    from graph_transformer_tpu.ops.sampled_softmax import sampled_softmax_loss
+    from graph_transformer_tpu.sampling.log_uniform import LogUniformSpec
+
+    spec = LogUniformSpec.create(total_nodes, nsampled)
+    n_shards = mesh.shape[axis_name]
+    assert total_nodes % n_shards == 0
+    n_local = total_nodes // n_shards
+
+    def step(params, opt_state, x, plan: HaloPlan, key):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P(axis_name),
+                P(),
+                P(axis_name),
+                P(axis_name),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def grad_local(p, x_local, export_idx, imp_src, imp_row, k):
+            imp_src = imp_src[0]  # drop the sharded leading axis
+            imp_row = imp_row[0]
+            s = jax.lax.axis_index(axis_name)
+            k_cand, k_drop = jax.random.split(k)
+            # dropout differs per shard; the candidate draw is shared
+            k_drop = None if deterministic else jax.random.fold_in(k_drop, s)
+            labels = s * n_local + jnp.arange(n_local, dtype=jnp.int32)
+
+            def loss_fn(pp):
+                h = halo_unsup_forward_local(
+                    pp, x_local, export_idx, imp_src, imp_row,
+                    num_timesteps, rng=k_drop, axis_name=axis_name,
+                )
+                losses = sampled_softmax_loss(
+                    pp.ss, k_cand, h, labels, spec
+                )
+                return jnp.sum(losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            return (
+                jax.lax.psum(loss, axis_name),
+                jax.lax.psum(grads, axis_name),
+            )
+
+        loss, grads = grad_local(
+            params, x, plan.export_idx, plan.import_src, plan.import_row, key
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())

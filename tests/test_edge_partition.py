@@ -134,3 +134,70 @@ def test_halo_plan_export_buffers_minimal():
     plan = build_halo_plan(neigh, n_shards)
     # shard 0 exports its referenced rows (incl. row 0); halo small
     assert plan.halo_size <= n_local
+
+
+def test_halo_train_step_matches_single_device():
+    """Regime-2 FULL train step (node-partitioned encoder + halo exchange +
+    sampled softmax + grad psum) reproduces the single-device computation:
+    same loss, same updated params."""
+    import optax
+
+    from graph_transformer_tpu.ops.attention import neighborhood_encoder
+    from graph_transformer_tpu.ops.sampled_softmax import sampled_softmax_loss
+    from graph_transformer_tpu.parallel.edge_partition import (
+        init_halo_unsup_params,
+        make_halo_train_step,
+    )
+    from graph_transformer_tpu.sampling.log_uniform import LogUniformSpec
+
+    n_shards, n_local, K, d, ff, layers, nsampled = 4, 8, 3, 8, 16, 2, 8
+    n = n_shards * n_local
+    rng = np.random.default_rng(3)
+    neigh = rng.integers(0, n, size=(n, K + 1)).astype(np.int32)
+    neigh[:, 0] = np.arange(n)
+    plan = build_halo_plan(neigh, n_shards)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+
+    params = init_halo_unsup_params(
+        jax.random.key(0), layers, d, ff, n, num_timesteps=1
+    )
+    # sgd: the update is linear in the gradient, so FP summation-order noise
+    # between psum-of-partials and the single-device sum stays proportional
+    # (adam's g/(|g|+eps) blows up relative error on near-zero gradients)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(params)
+
+    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:n_shards])
+    step = make_halo_train_step(
+        opt, mesh, n, nsampled, num_timesteps=1, donate=False,
+        deterministic=True,
+    )
+    key = jax.random.key(7)
+    p1, _, loss = step(params, opt_state, jnp.asarray(x), plan, key)
+
+    # ---- single-device reference: global gathers, same candidate draw ----
+    k_cand, _ = jax.random.split(key)
+    spec = LogUniformSpec.create(n, nsampled)
+
+    def ref_loss(p):
+        h = jnp.asarray(x)
+        for enc in p.encoders:
+            h = neighborhood_encoder(
+                enc, h[jnp.asarray(neigh)], dropout_rate=0.5, rng=None,
+                num_timesteps=1,
+            )
+        losses = sampled_softmax_loss(
+            p.ss, k_cand, h, jnp.arange(n, dtype=jnp.int32), spec
+        )
+        return jnp.sum(losses)
+
+    want_loss, grads = jax.value_and_grad(ref_loss)(params)
+    assert float(loss) == pytest.approx(float(want_loss), rel=1e-4)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
