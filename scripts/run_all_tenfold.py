@@ -46,6 +46,60 @@ CONFIGS = {
 }
 
 
+def run_one(name: str, runner: str, num_epochs: int, out: str) -> None:
+    """Run one dataset's full CV and append the result line to ``out``."""
+    K, T = CONFIGS[name]
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset=name, batch_size=4, num_neighbors=K),
+        model=ModelConfig(
+            num_timesteps=T, num_hidden_layers=1, ff_hidden_size=1024
+        ),
+        train=TrainConfig(learning_rate=5e-4, num_epochs=num_epochs),
+    )
+    ds = load_tu_dataset(name)
+    t1 = time.time()
+    if runner == "ondevice":
+        from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+
+        accs, mean, std = run_cv_on_device(ds, cfg)
+    else:
+        accs, mean, std = TenfoldVmapRunner(ds, cfg).run(
+            log_fn=lambda s: print(f"  [{name}] {s}", flush=True)
+        )
+    rec = {
+        "dataset": name,
+        "mean": round(mean, 4),
+        "std": round(std, 4),
+        "accs": [round(float(a), 4) for a in accs],
+        "K": K,
+        "T": T,
+        "epochs": num_epochs,
+        "runner": runner,
+        "wall_s": round(time.time() - t1, 1),
+    }
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def _wait_for_device(timeout_s: float = 900.0) -> bool:
+    """Block until a tiny device computation succeeds in a fresh process
+    (the remote TPU worker takes minutes to restart after a crash)."""
+    import subprocess
+    import sys as _sys
+
+    probe = "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        r = subprocess.run(
+            [_sys.executable, "-c", probe], capture_output=True, timeout=300
+        )
+        if r.returncode == 0:
+            return True
+        time.sleep(30)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/tenfold_all/results.jsonl")
@@ -53,13 +107,26 @@ def main():
     ap.add_argument("--num_epochs", default=50, type=int)
     ap.add_argument("--budget_s", default=10**9, type=float)
     ap.add_argument("--runner", default="ondevice", choices=["vmap", "ondevice"])
+    ap.add_argument("--single", default=None, help="(internal) run one "
+                    "dataset in-process and exit")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+
+    if args.single:
+        run_one(args.single, args.runner, args.num_epochs, args.out)
+        return
 
     done = set()
     if os.path.exists(args.out):
         with open(args.out) as f:
             done = {json.loads(line)["dataset"] for line in f}
+
+    # per-dataset subprocess isolation: a TPU-worker crash (observed on
+    # whole-CV single dispatches that run many minutes) kills only that
+    # dataset's attempt; the loop waits for the worker to restart and
+    # retries once with the per-epoch-dispatch vmap runner.
+    import subprocess
+    import sys as _sys
 
     t0 = time.time()
     for name in args.datasets.split(","):
@@ -69,39 +136,24 @@ def main():
         if time.time() - t0 > args.budget_s:
             print("budget reached", flush=True)
             break
-        K, T = CONFIGS[name]
-        cfg = ExperimentConfig(
-            data=DataConfig(dataset=name, batch_size=4, num_neighbors=K),
-            model=ModelConfig(
-                num_timesteps=T, num_hidden_layers=1, ff_hidden_size=1024
-            ),
-            train=TrainConfig(
-                learning_rate=5e-4, num_epochs=args.num_epochs
-            ),
-        )
-        ds = load_tu_dataset(name)
-        t1 = time.time()
-        if args.runner == "ondevice":
-            from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
-
-            accs, mean, std = run_cv_on_device(ds, cfg)
-        else:
-            accs, mean, std = TenfoldVmapRunner(ds, cfg).run(
-                log_fn=lambda s: print(f"  [{name}] {s}", flush=True)
+        for attempt, runner in enumerate([args.runner, "vmap"]):
+            cmd = [
+                _sys.executable, os.path.abspath(__file__),
+                "--single", name, "--runner", runner,
+                "--num_epochs", str(args.num_epochs),
+                "--out", args.out,
+            ]
+            r = subprocess.run(cmd)
+            if r.returncode == 0:
+                break
+            print(
+                f"[{name}] {runner} runner failed (rc {r.returncode}); "
+                "waiting for device...",
+                flush=True,
             )
-        rec = {
-            "dataset": name,
-            "mean": round(mean, 4),
-            "std": round(std, 4),
-            "accs": [round(float(a), 4) for a in accs],
-            "K": K,
-            "T": T,
-            "epochs": args.num_epochs,
-            "wall_s": round(time.time() - t1, 1),
-        }
-        with open(args.out, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(json.dumps(rec), flush=True)
+            if not _wait_for_device():
+                print("device did not come back; aborting", flush=True)
+                return
 
 
 if __name__ == "__main__":

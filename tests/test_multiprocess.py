@@ -1,0 +1,102 @@
+"""Multi-process (2-process CPU cluster) distributed-training test.
+
+Proves the code that would run on 2 TPU hosts exists and works: two OS
+processes join one ``jax.distributed`` cluster (2 local CPU devices each →
+4 global), the GSPMD train step runs over the global mesh with the gradient
+all-reduce crossing the process boundary, and the loss sequence matches a
+single-process run of the identical seeded trial.
+
+The reference has no distributed path at all (SURVEY.md §2.3); this is the
+CPU-cluster stand-in JAX supports for exactly this purpose.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def mp_results(tmp_path_factory):
+    """Launch the 2-process cluster once; yield both processes' reports."""
+    tmp = tmp_path_factory.mktemp("mp")
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp / f"p{pid}.json"
+        outs.append(out)
+        env = dict(
+            os.environ,
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            GT_COORDINATOR=f"127.0.0.1:{port}",
+            GT_NUM_PROCESSES="2",
+            GT_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, "--out", str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return [json.loads(out.read_text()) for out in outs]
+
+
+def test_two_process_cluster_forms(mp_results):
+    for rec in mp_results:
+        assert rec["multi"] is True
+        assert rec["process_count"] == 2
+        assert rec["device_count"] == 4  # global
+        assert rec["local_device_count"] == 2  # per process
+    assert {r["process_id"] for r in mp_results} == {0, 1}
+
+
+def test_two_process_losses_agree_across_processes(mp_results):
+    a, b = (r["losses"] for r in mp_results)
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)  # replicated scalar
+    assert all(np.isfinite(a))
+
+
+def test_two_process_matches_single_process(mp_results):
+    """The 2-process global mesh computes the same seeded trial as one
+    process with 4 local devices (reduction order may differ -> tolerance)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import jax
+
+    import mp_worker
+
+    from graph_transformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, devices=jax.devices()[:4])
+    want = mp_worker.run_trial(mesh)
+    np.testing.assert_allclose(mp_results[0]["losses"], want, rtol=1e-4)
