@@ -135,3 +135,47 @@ def test_prefetcher_delivers_and_propagates_errors(mutag):
     with pytest.raises(RuntimeError, match="worker failure"):
         with BatchPrefetcher(boom) as pf:
             pf.get()
+
+
+def test_hpo_gp_beats_halton_on_branin():
+    """The Bayesian loop must out-search the quasi-random baseline — the
+    one thing the reference's Ax harness existed for (README.md:43-47)."""
+    import math
+
+    def branin(p):
+        x, y = p["x"], p["y"]
+        b, c = 5.1 / (4 * math.pi**2), 5.0 / math.pi
+        t = 1.0 / (8 * math.pi)
+        return -((y - b * x * x + c * x - 6.0) ** 2
+                 + 10.0 * (1 - t) * math.cos(x) + 10.0)
+
+    space = [
+        {"name": "x", "type": "range", "bounds": [-5.0, 10.0]},
+        {"name": "y", "type": "range", "bounds": [0.0, 15.0]},
+    ]
+    finals = {"gp": [], "halton": []}
+    for strategy in finals:
+        for seed in range(5):
+            _, best, _ = optimize(
+                space, branin, total_trials=16, seed=seed,
+                strategy=strategy, log_fn=lambda *_: None,
+            )
+            finals[strategy].append(best)
+    assert np.mean(finals["gp"]) > np.mean(finals["halton"])
+
+
+def test_hpo_gp_does_not_repeat_arms_on_discrete_space():
+    space = [
+        {"name": "k", "type": "choice", "values": [1, 2, 3, 4]},
+        {"name": "n", "type": "range", "bounds": [1, 4]},
+    ]
+    arms = []
+
+    def f(p):
+        arms.append((p["k"], p["n"]))
+        return p["k"] + p["n"]
+
+    optimize(space, f, total_trials=12, seed=0, strategy="gp",
+             log_fn=lambda *_: None)
+    # 16 possible arms; 12 trials should mostly avoid duplicates
+    assert len(set(arms)) >= 9
