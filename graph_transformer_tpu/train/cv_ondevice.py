@@ -60,10 +60,20 @@ def run_cv_on_device(
     return_history: bool = False,
     mesh: Optional[jax.sharding.Mesh] = None,
     fold_axis: str = "data",
+    epochs_per_dispatch: Optional[int] = None,
 ):
-    """Full CV in one dispatch; returns ``(best_accs [F], mean, std)``
+    """Full CV on device; returns ``(best_accs [F], mean, std)``
     (plus ``(epoch_losses, epoch_accs)`` histories [epochs, F] when
     ``return_history``).
+
+    ``epochs_per_dispatch`` bounds the length of one device program: the
+    epoch scan is chunked, with the training carry staying on device between
+    dispatches (donated — no host round trips).  Default: sized so one
+    dispatch covers ~1200 fold-vmapped train steps.  Rationale: this
+    environment's remote-TPU relay kills the worker on single dispatches
+    that run many minutes (observed: MUTAG's ~170 s whole-CV dispatch fine,
+    PTC's longer one reproducibly fatal); on directly-attached chips a large
+    value restores the one-dispatch behavior.
 
     ``mesh``: optional device mesh — the fold axis is sharded over
     ``fold_axis`` (embarrassingly parallel, no cross-fold collectives), the
@@ -141,9 +151,19 @@ def run_cv_on_device(
     )
 
     num_epochs = cfg.train.num_epochs
+    if epochs_per_dispatch is None:
+        epochs_per_dispatch = max(1, 1200 // steps)
+    epochs_per_dispatch = min(epochs_per_dispatch, num_epochs)
+    # exact division: the scan length is static, so a ragged last chunk
+    # would either recompile or train past num_epochs — use the largest
+    # divisor of num_epochs within the target instead
+    epochs_per_dispatch = max(
+        d for d in range(1, epochs_per_dispatch + 1) if num_epochs % d == 0
+    )
 
-    # --------------------------- the one device program -------------------
-    def per_fold_cv(params, opt_state, ids, p_sel, ebs, emask, n_test, key):
+    # ----------------------- the chunked device program -------------------
+    def per_fold_chunk(params, opt_state, best, hist, n_plateau, e0,
+                       ids, p_sel, ebs, emask, n_test, key):
         def epoch_body(carry, e):
             params, opt_state, best, hist, n_plateau = carry
             ekey = jax.random.fold_in(key, e)
@@ -203,24 +223,28 @@ def run_cv_on_device(
             best = jnp.maximum(best, acc)
             return (params, opt_state, best, hist, n_plateau), (epoch_loss, acc)
 
-        hist0 = jnp.full((W,), _BIG, jnp.float32)
-        (params, opt_state, best, _, _), (eloss, eacc) = jax.lax.scan(
-            epoch_body,
-            (params, opt_state, 0.0, hist0, jnp.asarray(0, jnp.int32)),
-            jnp.arange(num_epochs),
+        carry = (params, opt_state, best, hist, n_plateau)
+        carry, (eloss, eacc) = jax.lax.scan(
+            epoch_body, carry, e0 + jnp.arange(epochs_per_dispatch)
         )
-        return best, eloss, eacc
+        return carry + (eloss, eacc)
 
-    # no donation: params/opt state are consumed by the scan and only the
-    # accuracy summaries come back, so there is no output to alias into
-    @jax.jit
-    def cv_all_folds(params_f, opt_f, ids_f, p_f, ebs_f, em_f, n_f, key):
+    # donate the training carry so chunks alias buffers in place
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def cv_chunk(params_f, opt_f, best_f, hist_f, npl_f, e0,
+                 ids_f, p_f, ebs_f, em_f, n_f, key):
         return jax.vmap(
-            per_fold_cv, in_axes=(0, 0, 0, 0, 0, 0, 0, None)
-        )(params_f, opt_f, ids_f, p_f, ebs_f, em_f, n_f, key)
+            per_fold_chunk,
+            in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, 0, 0, None),
+        )(params_f, opt_f, best_f, hist_f, npl_f, e0,
+          ids_f, p_f, ebs_f, em_f, n_f, key)
 
-    fold_args = (params_f, opt_f, train_ids, train_p, eval_b, eval_m, counts)
+    fold_args = (train_ids, train_p, eval_b, eval_m, counts)
     key = jax.random.key(cfg.train.seed + 1)
+    hist_f = np.full((F, W), np.float32(3.0e38))
+    best_f = np.zeros((F,), np.float32)
+    npl_f = np.zeros((F,), np.int32)
+    carry = (params_f, opt_f, best_f, hist_f, npl_f)
     if mesh is not None:
         if F % mesh.shape[fold_axis] != 0:
             raise ValueError(
@@ -232,12 +256,24 @@ def run_cv_on_device(
         )
         rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         fold_args = tuple(jax.device_put(a, shard) for a in fold_args)
+        carry = tuple(jax.device_put(a, shard) for a in carry)
         key = jax.device_put(key, rep)
         dd = jax.device_put(dd, rep)
         csr = jax.device_put(csr, rep)
 
-    best, eloss, eacc = cv_all_folds(*fold_args, key)
-    best = np.asarray(best)
+    elosses, eaccs = [], []
+    n_chunks = (num_epochs + epochs_per_dispatch - 1) // epochs_per_dispatch
+    for c in range(n_chunks):
+        e0 = jnp.asarray(c * epochs_per_dispatch, jnp.int32)
+        out = cv_chunk(*carry, e0, *fold_args, key)
+        carry = out[:5]
+        # fetch the chunk's summaries (cheap) — also a completion barrier,
+        # so each dispatch stays bounded
+        elosses.append(np.asarray(out[5]))
+        eaccs.append(np.asarray(out[6]))
+    best = np.asarray(carry[2])
+    eloss = np.concatenate(elosses, axis=1)[:, :num_epochs]
+    eacc = np.concatenate(eaccs, axis=1)[:, :num_epochs]
     if return_history:
         return (
             best,

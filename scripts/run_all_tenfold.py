@@ -82,7 +82,7 @@ def run_one(name: str, runner: str, num_epochs: int, out: str) -> None:
     print(json.dumps(rec), flush=True)
 
 
-def _wait_for_device(timeout_s: float = 900.0) -> bool:
+def _wait_for_device(timeout_s: float = 1800.0) -> bool:
     """Block until a tiny device computation succeeds in a fresh process
     (the remote TPU worker takes minutes to restart after a crash)."""
     import subprocess
@@ -91,11 +91,16 @@ def _wait_for_device(timeout_s: float = 900.0) -> bool:
     probe = "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones(8))))"
     t0 = time.time()
     while time.time() - t0 < timeout_s:
-        r = subprocess.run(
-            [_sys.executable, "-c", probe], capture_output=True, timeout=300
-        )
-        if r.returncode == 0:
-            return True
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", probe],
+                capture_output=True,
+                timeout=300,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass  # init hang while the worker restarts — keep polling
         time.sleep(30)
     return False
 

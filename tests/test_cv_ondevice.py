@@ -68,3 +68,27 @@ def test_full_cv_sharded_folds_matches_unsharded(mutag):
     accs, mean, _ = run_cv_on_device(mutag, cfg, folds=folds, mesh=mesh)
     assert np.allclose(accs, base, atol=1e-6)
     assert mean == pytest.approx(base_mean, abs=1e-6)
+
+
+def test_chunked_dispatch_matches_single_dispatch(mutag):
+    """Chunking the epoch scan (carry kept on device between dispatches)
+    must reproduce the single-dispatch run exactly: same per-epoch losses,
+    accuracies, and best accuracies."""
+    from graph_transformer_tpu.data.splits import stratified_kfold_indices
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=32),
+        train=TrainConfig(num_epochs=4, learning_rate=5e-4),
+    )
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+    one = run_cv_on_device(
+        mutag, cfg, folds=folds, return_history=True, epochs_per_dispatch=4
+    )
+    chunked = run_cv_on_device(
+        mutag, cfg, folds=folds, return_history=True, epochs_per_dispatch=2
+    )
+    np.testing.assert_allclose(chunked[0], one[0])  # best accs
+    np.testing.assert_allclose(chunked[3], one[3], rtol=1e-6)  # losses
+    np.testing.assert_allclose(chunked[4], one[4])  # accuracies
