@@ -321,6 +321,58 @@ def from_arrays(
     )
 
 
+def load_ppi(
+    data_dir: Optional[str] = None,
+    split: str = "train",
+    graph_index: int = 0,
+) -> NodeGraphDataset:
+    """Parse the standard PPI download (the GraphSAGE/DGL ``ppi.zip``
+    layout: ``{split}_graph.json`` node-link graph, ``{split}_feats.npy``,
+    ``{split}_labels.npy`` multi-label [N, 121], ``{split}_graph_id.npy``)
+    and return graph ``graph_index`` of the split — the reference takes
+    ``PPIDataset()[0]`` (``node_train_utils.py:49-50``), i.e. the first
+    training graph.  Multi-label rows reduce to argmax, matching the
+    reference's single-label eval pipeline (see :func:`from_arrays`).
+
+    ``data_dir`` defaults to ``$GT_TPU_PPI``.
+    """
+    import json as _json
+
+    d = data_dir or os.environ.get("GT_TPU_PPI", "")
+    gpath = os.path.join(d, f"{split}_graph.json")
+    if not d or not os.path.exists(gpath):
+        raise FileNotFoundError(
+            f"PPI files for split {split!r} not found under {d!r}; "
+            "set GT_TPU_PPI or pass data_dir (expects the standard "
+            "ppi.zip contents)"
+        )
+    with open(gpath) as f:
+        gjson = _json.load(f)
+    feats = np.load(os.path.join(d, f"{split}_feats.npy"))
+    labels = np.load(os.path.join(d, f"{split}_labels.npy"))
+    graph_ids = np.load(os.path.join(d, f"{split}_graph_id.npy"))
+
+    want = np.unique(graph_ids)[graph_index]
+    keep = np.nonzero(graph_ids == want)[0]
+    remap = np.full(len(graph_ids), -1, dtype=np.int64)
+    remap[keep] = np.arange(len(keep))
+
+    # node-link format: nodes [{"id": i}, ...], links [{"source","target"}]
+    src = np.array([e["source"] for e in gjson["links"]], dtype=np.int64)
+    dst = np.array([e["target"] for e in gjson["links"]], dtype=np.int64)
+    inside = (remap[src] >= 0) & (remap[dst] >= 0)
+    return from_arrays(
+        f"ppi-{split}{graph_index}",
+        remap[src[inside]],
+        remap[dst[inside]],
+        feats[keep],
+        labels[keep],
+        # transductive single-graph protocol, as the reference's PPI path
+        # (it re-splits nodes of graph 0, not the official 20/2/2 graphs)
+        train_mask=None,
+    )
+
+
 def load_npz(path: str, name: Optional[str] = None) -> NodeGraphDataset:
     """Load :func:`from_arrays` inputs from an ``.npz`` with keys
     ``src, dst, features, labels`` (+ optional ``train_mask, val_mask,
@@ -345,6 +397,7 @@ NODE_DATASETS: Dict[str, Callable[..., NodeGraphDataset]] = {
     "cora": lambda **kw: load_planetoid("cora", **kw),
     "citeseer": lambda **kw: load_planetoid("citeseer", **kw),
     "pubmed": lambda **kw: load_planetoid("pubmed", **kw),
+    "ppi": load_ppi,
 }
 
 

@@ -132,3 +132,59 @@ def test_planetoid_end_to_end_node_training(fixture_dir):
     assert all(np.isfinite(losses))
     acc = tr.evaluate_masks()
     assert 0.0 <= acc <= 1.0
+
+
+# ----------------------------------------------------------------------- PPI
+def _write_ppi_fixture(d: str) -> dict:
+    """Tiny train split in the GraphSAGE/DGL ppi.zip layout: two graphs of
+    5 and 4 nodes, 3 feature dims, 4-way multilabels."""
+    import json
+
+    rng = np.random.default_rng(1)
+    n = 9
+    graph_ids = np.array([7, 7, 7, 7, 7, 9, 9, 9, 9])
+    feats = rng.random((n, 3)).astype(np.float32)
+    labels = (rng.random((n, 4)) < 0.4).astype(np.float32)
+    links = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4),  # graph 7
+             (5, 6), (6, 7), (7, 8)]  # graph 9
+    gjson = {
+        "directed": False, "multigraph": False,
+        "nodes": [{"id": i} for i in range(n)],
+        "links": [{"source": s, "target": t} for s, t in links],
+    }
+    with open(os.path.join(d, "train_graph.json"), "w") as f:
+        json.dump(gjson, f)
+    np.save(os.path.join(d, "train_feats.npy"), feats)
+    np.save(os.path.join(d, "train_labels.npy"), labels)
+    np.save(os.path.join(d, "train_graph_id.npy"), graph_ids)
+    return {"feats": feats, "labels": labels, "links": links}
+
+
+def test_ppi_loader_first_graph(tmp_path):
+    from graph_transformer_tpu.data.citation import load_ppi
+
+    truth = _write_ppi_fixture(str(tmp_path))
+    ds = load_ppi(data_dir=str(tmp_path), split="train", graph_index=0)
+    assert ds.num_nodes == 5  # the graph_id==7 block
+    np.testing.assert_allclose(ds.graph.node_feat, truth["feats"][:5])
+    np.testing.assert_array_equal(
+        ds.node_labels, truth["labels"][:5].argmax(axis=1)
+    )
+    src, dst = ds.graph.edge_arrays()
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    for s, t in truth["links"][:5]:
+        assert (s, t) in pairs and (t, s) in pairs
+    assert len(pairs) == 10  # 5 undirected edges, both directions
+
+
+def test_ppi_loader_second_graph(tmp_path):
+    from graph_transformer_tpu.data.citation import load_ppi
+
+    truth = _write_ppi_fixture(str(tmp_path))
+    ds = load_ppi(data_dir=str(tmp_path), split="train", graph_index=1)
+    assert ds.num_nodes == 4
+    np.testing.assert_allclose(ds.graph.node_feat, truth["feats"][5:])
+    src, dst = ds.graph.edge_arrays()
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    # node ids remapped to 0..3
+    assert (0, 1) in pairs and (2, 3) in pairs
