@@ -18,13 +18,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import argparse
+
 import numpy as np
 import torch
 
 from graph_transformer_tpu.data.tu import synthetic_powerlaw_dataset
 from graph_transformer_tpu.data.batching import BatchBuilder
 
-BATCH, K, T, FF, EPOCH_STEPS = 4, 8, 4, 1024, 3
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=4)
+_ap.add_argument("--k", type=int, default=8)
+_ap.add_argument("--t", type=int, default=4)
+_ap.add_argument("--ff", type=int, default=1024)
+_ap.add_argument("--steps", type=int, default=3)
+_args = _ap.parse_args()
+# defaults = the reference README batch size; pass --batch 16 to pin the
+# exact bench.py workload (VERDICT: vs_baseline must compare identical
+# (batch, k, T, ff))
+BATCH, K, T, FF, EPOCH_STEPS = _args.batch, _args.k, _args.t, _args.ff, _args.steps
 
 
 class RefU2GNNSup(torch.nn.Module):

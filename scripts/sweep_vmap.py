@@ -122,6 +122,35 @@ GRIDS = {
         "K8_T1_deg": {"num_timesteps": 1, "degree_as_tag": True},
         "100ep": {"num_epochs": 100},
     },
+    # ---- round-2 re-sweeps: the round-1 grids trained under the broken
+    # plateau decay (LR collapsed after ~6 epochs; ADVICE.md item 1), so
+    # their rankings are invalid.  These compact grids re-test the r1
+    # winners + the key axes under the fixed schedule.
+    "PTC_r2": {
+        "K16_T1": {"num_neighbors": 16, "num_timesteps": 1},
+        "K8_T1": {"num_neighbors": 8, "num_timesteps": 1},
+        "deg_K16_T3": {"degree_as_tag": True},
+        "K16_T1_deg": {"num_neighbors": 16, "num_timesteps": 1,
+                       "degree_as_tag": True},
+        "ff128_K8_T4": {"ff_hidden_size": 128, "num_neighbors": 8,
+                        "num_timesteps": 4},
+        "K16_T1_ff128": {"num_neighbors": 16, "num_timesteps": 1,
+                         "ff_hidden_size": 128},
+        "K16_T1_100ep": {"num_neighbors": 16, "num_timesteps": 1,
+                         "num_epochs": 100},
+        "drop0_K16_T1": {"num_neighbors": 16, "num_timesteps": 1,
+                         "dropout": 0.0},
+    },
+    "MUTAG_r2": {
+        "deg_K8_T4": {"degree_as_tag": True},
+        "deg_K8_T2": {"degree_as_tag": True, "num_timesteps": 2},
+        "deg_K16_T3": {"degree_as_tag": True, "num_neighbors": 16,
+                       "num_timesteps": 3},
+        "deg_bs16": {"degree_as_tag": True, "batch_size": 16},
+        "deg_lr1e-3": {"degree_as_tag": True, "learning_rate": 1e-3},
+        "deg_100ep": {"degree_as_tag": True, "num_epochs": 100},
+        "deg_k2": {"degree_as_tag": True, "num_hidden_layers": 2},
+    },
     # refinement around the MUTAG degree_as_tag winner (0.8769 vs 0.7757 base)
     "MUTAG_deg": {
         "deg_K8_T4": {"degree_as_tag": True},
@@ -148,7 +177,12 @@ BASE = {
 }
 
 # grid key -> TU dataset (grids may be refinement phases of one dataset)
-DATASET_OF = {"PTC_T1": "PTC", "MUTAG_deg": "MUTAG"}
+DATASET_OF = {
+    "PTC_T1": "PTC",
+    "MUTAG_deg": "MUTAG",
+    "PTC_r2": "PTC",
+    "MUTAG_r2": "MUTAG",
+}
 
 
 def make_cfg(dataset: str, over: dict) -> ExperimentConfig:
