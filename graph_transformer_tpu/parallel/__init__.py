@@ -1,6 +1,7 @@
 from graph_transformer_tpu.parallel.edge_partition import (
     HaloPlan,
     build_halo_plan,
+    halo_cost_model,
     halo_gather,
     init_halo_unsup_params,
     make_halo_train_step,
@@ -19,6 +20,7 @@ from graph_transformer_tpu.parallel.spmd import (
 __all__ = [
     "HaloPlan",
     "build_halo_plan",
+    "halo_cost_model",
     "halo_gather",
     "init_halo_unsup_params",
     "make_halo_train_step",

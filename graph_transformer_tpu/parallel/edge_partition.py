@@ -176,19 +176,24 @@ class HaloPlan:
     range partition; callers balance ranges by edges beforehand).  For each
     shard ``s``:
 
-    - ``export_idx [S, H]``: local row indices shard *s* must export
-      (union of rows any other shard references), padded with 0;
+    - ``export_idx [S, H]``: local row indices shard *s* must export — the
+      union of rows *other* shards reference (own-shard references read the
+      local vectors directly and never enter the exchange), padded with 0;
     - ``import_src [S, Nl, K+1] / import_row [S, Nl, K+1]``: for every
-      neighborhood slot, the (source-shard, export-buffer-row) coordinates
-      of the referenced node inside the all-gathered export stack.
+      neighborhood slot, either (source-shard, export-buffer-row) into the
+      all-gathered export stack, or — where ``import_local [S, Nl, K+1]``
+      is True — ``import_row`` holds the *local* row id instead.
 
     One ``all_gather`` of the ``[H, D]`` export buffer realizes the halo;
-    gathers are then shard-local and static.
+    gathers are then shard-local and static.  H is the true boundary size:
+    a fully shard-local neighborhood table has H = 1 (padding only) and
+    exchanges nothing useful.
     """
 
     export_idx: jax.Array  # [S, H] i32 local row ids to export
     import_src: jax.Array  # [S, Nl, K+1] i32 source shard of each slot
-    import_row: jax.Array  # [S, Nl, K+1] i32 row in that shard's export buf
+    import_row: jax.Array  # [S, Nl, K+1] i32 export-buf row | local row
+    import_local: jax.Array  # [S, Nl, K+1] bool: slot is own-shard
 
     @property
     def halo_size(self) -> int:
@@ -205,18 +210,21 @@ def build_halo_plan(
     n_local = n // n_shards
     owner = neigh_global // n_local  # [N, K+1]
     local_row = neigh_global % n_local
+    dst_shard = (np.arange(n) // n_local)[:, None]  # owner of the *reader*
+    is_local = owner == dst_shard
 
-    # per source shard: union of rows exported to anyone
+    # per source shard: union of rows exported to OTHER shards only
     export_sets: List[np.ndarray] = []
     for src in range(n_shards):
         need_mask = np.zeros(n_local, dtype=bool)
         for dst in range(n_shards):
+            if dst == src:
+                continue
             rows = local_row[dst * n_local : (dst + 1) * n_local]
             owners = owner[dst * n_local : (dst + 1) * n_local]
             need_mask[np.unique(rows[owners == src])] = True
         export_sets.append(np.nonzero(need_mask)[0])
-    h = max((len(e) for e in export_sets), default=1)
-    h = max(h, 1)
+    h = max(max((len(e) for e in export_sets), default=1), 1)
     export_idx = np.zeros((n_shards, h), dtype=np.int32)
     # map (shard, local_row) -> export buffer position
     pos_of = np.full((n_shards, n_local), -1, dtype=np.int32)
@@ -225,14 +233,19 @@ def build_halo_plan(
         pos_of[s, e] = np.arange(len(e), dtype=np.int32)
 
     import_src = owner.reshape(n_shards, n_local, k1).astype(np.int32)
-    import_row = pos_of[
-        owner.reshape(-1), local_row.reshape(-1)
-    ].reshape(n_shards, n_local, k1)
+    row_remote = pos_of[owner.reshape(-1), local_row.reshape(-1)].reshape(
+        n_shards, n_local, k1
+    )
+    import_local = is_local.reshape(n_shards, n_local, k1)
+    import_row = np.where(
+        import_local, local_row.reshape(n_shards, n_local, k1), row_remote
+    )
     assert (import_row >= 0).all(), "plan inconsistency: missing export row"
     return HaloPlan(
         export_idx=jnp.asarray(export_idx),
         import_src=jnp.asarray(import_src),
         import_row=jnp.asarray(import_row.astype(np.int32)),
+        import_local=jnp.asarray(import_local),
     )
 
 
@@ -241,14 +254,24 @@ def halo_gather(
     plan_export_idx: jax.Array,  # [S, H] (full plan table, replicated)
     plan_import_src: jax.Array,  # [Nl, K+1] (this shard's slice)
     plan_import_row: jax.Array,  # [Nl, K+1]
+    plan_import_local: jax.Array,  # [Nl, K+1] bool
     axis_name: str = "data",
 ) -> jax.Array:
-    """Inside ``shard_map``: returns ``[Nl, K+1, D]`` neighborhood vectors,
-    fetching remote rows through one export-buffer ``all_gather``."""
+    """Inside ``shard_map``: returns ``[Nl, K+1, D]`` neighborhood vectors.
+    Own-shard slots gather straight from ``local_vecs``; remote slots go
+    through one export-buffer ``all_gather`` (the only collective)."""
     s = jax.lax.axis_index(axis_name)
     export = local_vecs[plan_export_idx[s]]  # [H, D]
     stack = jax.lax.all_gather(export, axis_name)  # [S, H, D]
-    return stack[plan_import_src, plan_import_row]  # [Nl, K+1, D]
+    # clip the dual-use row index into each table's range before gathering
+    h = stack.shape[1]
+    remote = stack[
+        plan_import_src, jnp.minimum(plan_import_row, h - 1)
+    ]  # [Nl, K+1, D]
+    local = local_vecs[
+        jnp.minimum(plan_import_row, local_vecs.shape[0] - 1)
+    ]
+    return jnp.where(plan_import_local[..., None], local, remote)
 
 
 # ------------------------------------------------- regime-2 full train step
@@ -293,6 +316,7 @@ def halo_unsup_forward_local(
     plan_export_idx: jax.Array,  # [S, H] full table (replicated)
     plan_import_src: jax.Array,  # [Nl, K+1] this shard's slice
     plan_import_row: jax.Array,  # [Nl, K+1]
+    plan_import_local: jax.Array,  # [Nl, K+1] bool
     num_timesteps: int,
     rng: Optional[jax.Array] = None,
     axis_name: str = "data",
@@ -317,7 +341,8 @@ def halo_unsup_forward_local(
         else:
             r_enc = None
         neigh_vecs = halo_gather(
-            h, plan_export_idx, plan_import_src, plan_import_row, axis_name
+            h, plan_export_idx, plan_import_src, plan_import_row,
+            plan_import_local, axis_name,
         )  # [Nl, K+1, D]
         h = neighborhood_encoder(
             enc,
@@ -371,14 +396,16 @@ def make_halo_train_step(
                 P(),
                 P(axis_name),
                 P(axis_name),
+                P(axis_name),
                 P(),
             ),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def grad_local(p, x_local, export_idx, imp_src, imp_row, k):
+        def grad_local(p, x_local, export_idx, imp_src, imp_row, imp_loc, k):
             imp_src = imp_src[0]  # drop the sharded leading axis
             imp_row = imp_row[0]
+            imp_loc = imp_loc[0]
             s = jax.lax.axis_index(axis_name)
             k_cand, k_drop = jax.random.split(k)
             # dropout differs per shard; the candidate draw is shared
@@ -387,7 +414,7 @@ def make_halo_train_step(
 
             def loss_fn(pp):
                 h = halo_unsup_forward_local(
-                    pp, x_local, export_idx, imp_src, imp_row,
+                    pp, x_local, export_idx, imp_src, imp_row, imp_loc,
                     num_timesteps, rng=k_drop, axis_name=axis_name,
                 )
                 losses = sampled_softmax_loss(
@@ -402,10 +429,62 @@ def make_halo_train_step(
             )
 
         loss, grads = grad_local(
-            params, x, plan.export_idx, plan.import_src, plan.import_row, key
+            params, x, plan.export_idx, plan.import_src, plan.import_row,
+            plan.import_local, key,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+# ---------------------------------------------------- analytic scaling model
+def halo_cost_model(
+    plan: HaloPlan,
+    n_local: int,
+    feature_dim: int,
+    num_layers: int,
+    ff_hidden: int,
+    num_timesteps: int = 1,
+    bytes_per_elt: int = 2,
+    ici_bytes_per_s: float = 4.5e10,
+    flops_per_s: float = 1.97e14,
+) -> dict:
+    """Hardware-independent scaling prediction for the halo regime
+    (VERDICT weak-item 6): per-step collective bytes vs local compute.
+
+    Per U2GNN layer each shard all_gathers the [H, D] export buffers of all
+    S shards (one bidirectional ring pass over ICI moves (S-1)/S of S·H·D
+    elements per link), while local compute is the neighborhood encoder over
+    [n_local·(K+1), D] rows.  Efficiency at S shards ≈
+    t_compute / (t_compute + t_collective) assuming no overlap — a lower
+    bound; overlapping the exchange with the attention of interior nodes
+    raises it.
+
+    Defaults: v5e ICI ~45 GB/s/link usable, 197 TFLOP/s bf16.
+    Returns bytes, FLOPs, times and the predicted efficiency.
+    """
+    S, H = plan.export_idx.shape
+    k1 = plan.import_src.shape[-1]
+    d = feature_dim
+    # ring all_gather: each link carries (S-1)·H·D elements per exchange
+    coll_bytes = (S - 1) * H * d * bytes_per_elt * num_layers * 1  # per step
+    rows = n_local * k1
+    # encoder FLOPs per layer (attention ~ rows·k1·d + ffn rows·d·ff, ×T)
+    enc_flops = (
+        (2 * rows * d * 3 * d + 2 * rows * k1 * d * 2 + 2 * rows * d * d)
+        + 2 * (2 * rows * d * ff_hidden)
+    ) * num_timesteps
+    flops = enc_flops * num_layers * 3  # fwd + ~2x bwd
+    t_comp = flops / flops_per_s
+    t_coll = coll_bytes / ici_bytes_per_s
+    return {
+        "shards": int(S),
+        "halo_rows_per_shard": int(H),
+        "collective_bytes_per_step": int(coll_bytes),
+        "local_flops_per_step": int(flops),
+        "t_compute_s": t_comp,
+        "t_collective_s": t_coll,
+        "predicted_efficiency": t_comp / (t_comp + t_coll),
+    }

@@ -107,18 +107,21 @@ def test_halo_plan_and_gather_match_direct():
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P("data"), P(), P("data"), P("data")),
+        in_specs=(P("data"), P(), P("data"), P("data"), P("data")),
         out_specs=P("data"),
         check_vma=False,
     )
-    def run(x_local, export_idx, imp_src, imp_row):
-        return halo_gather(x_local, export_idx, imp_src[0], imp_row[0])
+    def run(x_local, export_idx, imp_src, imp_row, imp_loc):
+        return halo_gather(
+            x_local, export_idx, imp_src[0], imp_row[0], imp_loc[0]
+        )
 
     got = run(
         jnp.asarray(x),
         plan.export_idx,
         plan.import_src,
         plan.import_row,
+        plan.import_local,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
 
@@ -132,8 +135,9 @@ def test_halo_plan_export_buffers_minimal():
     neigh = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, 2))
     neigh[n_local:, 1] = 0
     plan = build_halo_plan(neigh, n_shards)
-    # shard 0 exports its referenced rows (incl. row 0); halo small
-    assert plan.halo_size <= n_local
+    # exactly one row (shard 0's row 0) is referenced remotely — own-shard
+    # references never enter the export buffer
+    assert plan.halo_size == 1
 
 
 def test_halo_train_step_matches_single_device():
@@ -201,3 +205,38 @@ def test_halo_train_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+def test_halo_cost_model_sane():
+    """Collective bytes scale with halo size and shard count; predicted
+    efficiency is in (0, 1] and decreases as the halo grows."""
+    from graph_transformer_tpu.parallel.edge_partition import halo_cost_model
+
+    n_shards, n_local, K = 4, 256, 8
+    n = n_shards * n_local
+    rng = np.random.default_rng(0)
+    # local-heavy neighborhoods: mostly own-shard references -> small halo
+    base = (np.arange(n, dtype=np.int32) // n_local) * n_local
+    neigh_local = (base[:, None]
+                   + rng.integers(0, n_local, (n, K + 1))).astype(np.int32)
+    neigh_local[:, 0] = np.arange(n)
+    # scattered neighborhoods: uniform references -> big halo
+    neigh_glob = rng.integers(0, n, (n, K + 1)).astype(np.int32)
+    neigh_glob[:, 0] = np.arange(n)
+
+    m_loc = halo_cost_model(build_halo_plan(neigh_local, n_shards),
+                            n_local, 64, 1, 1024)
+    m_glob = halo_cost_model(build_halo_plan(neigh_glob, n_shards),
+                             n_local, 64, 1, 1024)
+    # all-local references: halo is padding only (H=1)
+    assert m_loc["halo_rows_per_shard"] == 1
+    assert m_loc["collective_bytes_per_step"] < (
+        m_glob["collective_bytes_per_step"] / 50
+    )
+    assert m_glob["collective_bytes_per_step"] > 0
+    assert 0 < m_glob["predicted_efficiency"] <= 1.0
+    assert m_loc["predicted_efficiency"] > 0.99
+    # doubling layers doubles collective traffic
+    m2 = halo_cost_model(build_halo_plan(neigh_glob, n_shards),
+                         n_local, 64, 2, 1024)
+    assert m2["collective_bytes_per_step"] == 2 * m_glob["collective_bytes_per_step"]
