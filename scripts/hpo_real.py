@@ -1,0 +1,112 @@
+"""GP-EI HPO on a real workload: supervised MUTAG 10-fold CV per trial.
+
+The reference's Ax harness tuned {num_timesteps, sampled_num,
+num_hidden_layers, log-lr} and claimed +8% mean accuracy on IMDBBINARY
+unsup (``README.md:43-47``).  This runs the same loop shape on real
+training: each trial is a FULL 10-fold CV (the chunked on-device runner) at
+reduced epochs, over the paper's stated search ranges (T∈1..6, K∈{4,8,16},
+k∈{1,2,3}, log-lr) + degree_as_tag.  Compares the GP's best arm against the
+README-shaped default config measured under the same epoch budget.
+
+Writes runs/hpo/hpo_real_mutag.jsonl.  Run on the chip (~25 min at 12
+trials × 25 epochs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.data.tu import load_tu_dataset
+from graph_transformer_tpu.exp.hpo import optimize
+from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+
+SPACE = [
+    {"name": "num_timesteps", "type": "range", "bounds": [1, 6]},
+    {"name": "num_neighbors", "type": "choice", "values": [4, 8, 16]},
+    {"name": "num_hidden_layers", "type": "range", "bounds": [1, 3]},
+    {"name": "learning_rate", "type": "range", "bounds": [1e-4, 3e-3],
+     "log_scale": True},
+    {"name": "degree_as_tag", "type": "choice", "values": [False, True]},
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="MUTAG")
+    ap.add_argument("--trials", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--out", default="runs/hpo/hpo_real_mutag.jsonl")
+    args = ap.parse_args()
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    out_f = open(args.out, "a")
+
+    cache = {}
+
+    def evaluate(params):
+        key = json.dumps(params, sort_keys=True)
+        if key in cache:
+            return cache[key]
+        ds = load_tu_dataset(args.dataset, params["degree_as_tag"])
+        cfg = ExperimentConfig(
+            data=DataConfig(
+                dataset=args.dataset, batch_size=4,
+                num_neighbors=int(params["num_neighbors"]),
+                degree_as_tag=params["degree_as_tag"],
+            ),
+            model=ModelConfig(
+                num_timesteps=int(params["num_timesteps"]),
+                num_hidden_layers=int(params["num_hidden_layers"]),
+                ff_hidden_size=1024,
+            ),
+            train=TrainConfig(
+                learning_rate=float(params["learning_rate"]),
+                num_epochs=args.epochs,
+            ),
+        )
+        t0 = time.time()
+        _, mean, std = run_cv_on_device(ds, cfg)
+        out_f.write(json.dumps({
+            "params": params, "mean": round(mean, 4), "std": round(std, 4),
+            "wall_s": round(time.time() - t0, 1),
+        }) + "\n")
+        out_f.flush()
+        cache[key] = mean
+        return mean
+
+    # baseline arm: the README-shaped default at the same epoch budget
+    base = {
+        "num_timesteps": 4, "num_neighbors": 8, "num_hidden_layers": 1,
+        "learning_rate": 5e-4, "degree_as_tag": False,
+    }
+    base_acc = evaluate(base)
+    print(f"default config: {base_acc:.4f}", flush=True)
+
+    best_params, best_value, trials = optimize(
+        SPACE, evaluate, total_trials=args.trials, seed=0, strategy="gp",
+    )
+    rec = {
+        "summary": True, "dataset": args.dataset, "epochs": args.epochs,
+        "default_acc": round(base_acc, 4),
+        "best_acc": round(best_value, 4),
+        "gain": round(best_value - base_acc, 4),
+        "best_params": best_params,
+    }
+    out_f.write(json.dumps(rec) + "\n")
+    out_f.close()
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,3 +49,7 @@ run python scripts/bench_torch_reference.py --batch 16 --steps 3
 run python scripts/bench_torch_reference.py --batch 4 --steps 3
 
 echo "=== r2 queue done $(date) ===" >> "$LOG"
+
+# 6. real-workload GP-HPO (appended while queue runs; bash reads lazily)
+run python scripts/hpo_real.py --trials 12 --epochs 25
+echo "=== r2 queue tail done $(date) ===" >> "$LOG"
