@@ -100,3 +100,45 @@ def test_two_process_matches_single_process(mp_results):
     mesh = make_mesh(1, devices=jax.devices()[:4])
     want = mp_worker.run_trial(mesh)
     np.testing.assert_allclose(mp_results[0]["losses"], want, rtol=1e-4)
+
+
+def test_make_global_mesh_single_process():
+    """Single-process fallback: plain (data, model) mesh over local devices."""
+    import jax
+
+    from graph_transformer_tpu.parallel.bootstrap import make_global_mesh
+
+    mesh = make_global_mesh(model_parallel=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_put_tree_places_and_shards():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from graph_transformer_tpu.parallel.bootstrap import (
+        host_local_array,
+        put_tree,
+    )
+    from graph_transformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, devices=jax.devices()[:4])
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    arr = host_local_array(x, mesh, P("data", None))
+    np.testing.assert_allclose(np.asarray(arr), x)
+    assert len(arr.sharding.device_set) == 4
+
+    tree = {"a": x, "b": np.float32(3.0)}
+    placed = put_tree(tree, mesh, {"a": P("data", None), "b": P()})
+    np.testing.assert_allclose(np.asarray(placed["a"]), x)
+    assert float(placed["b"]) == 3.0
+
+
+def test_initialize_from_env_noop_without_coordinator(monkeypatch):
+    from graph_transformer_tpu.parallel import bootstrap
+
+    monkeypatch.delenv(bootstrap.ENV_COORDINATOR, raising=False)
+    assert bootstrap.initialize_from_env() is False
