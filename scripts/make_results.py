@@ -1,0 +1,214 @@
+"""Regenerate RESULTS.md from the measured run artifacts.
+
+Single source of truth: the JSONL/JSON files under runs/.  Re-run after any
+accuracy/bench job lands:  ``python scripts/make_results.py``.
+
+External anchors are the U2GNN paper's tables (arXiv:1909.11855, cited at
+the reference's README.md:14) — the reference repo itself publishes no
+numbers (BASELINE.md).  Paper numbers use per-dataset tuned configs; ours
+below state their config explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from datetime import date
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# U2GNN paper (arXiv:1909.11855) accuracy tables, values/100.  "—" = the
+# paper does not report the dataset.
+PAPER_SUP = {
+    "MUTAG": "0.8997 ± 0.0365",
+    "PTC": "0.6963 ± 0.0360",
+    "PROTEINS": "0.7853 ± 0.0407",
+    "IMDBBINARY": "0.7704 ± 0.0345",
+    "IMDBMULTI": "0.5360 ± 0.0353",
+    "ENZYMES": "—",
+    "NCI1": "—",
+    "NCI109": "—",
+}
+PAPER_UNSUP = {
+    "MUTAG": "0.8847 ± 0.0540",
+    "PTC": "0.6970 ± 0.0444",
+    "IMDBBINARY": "0.7704 ± 0.0290",
+    "IMDBMULTI": "0.5363 ± 0.0177",
+    "PROTEINS": "0.8017 ± 0.0326",
+    "ENZYMES": "—",
+}
+
+
+def _jsonl(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def _json(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    sup = {r["dataset"]: r for r in _jsonl(
+        os.path.join(REPO, "runs/tenfold_all/results_r2.jsonl"))}
+    unsup = {r["dataset"]: r for r in _jsonl(
+        os.path.join(REPO, "runs/unsup_all/results_r2.jsonl"))}
+    pallas = _json(os.path.join(REPO, "runs/pallas_parity.json"))
+    roof = _json(os.path.join(REPO, "runs/roofline.json"))
+    hpo_real = _jsonl(os.path.join(REPO, "runs/hpo/hpo_real_mutag.jsonl"))
+    hpo_summary = next((r for r in hpo_real if r.get("summary")), None)
+    sweeps = {}
+    for grid in ("PTC_r2", "MUTAG_r2"):
+        sweeps[grid] = _jsonl(
+            os.path.join(REPO, f"runs/sweep_vmap_r2/{grid}.jsonl"))
+
+    L = []
+    A = L.append
+    A("# RESULTS — measured on real hardware (round 2)")
+    A("")
+    A(f"Generated {date.today()} by `scripts/make_results.py` from the run")
+    A("artifacts under `runs/` (regenerate after new runs land).  All round-1")
+    A("accuracy numbers were retired: they trained under a mis-ported plateau")
+    A("LR schedule that collapsed the LR after ~6 epochs (ADVICE.md item 1,")
+    A("fixed in `train/optim.py:PlateauStepLR`); every number below is")
+    A("re-measured under the corrected (reference-exact) schedule.")
+    A("")
+    A("Protocol: 10-fold CV (StratifiedKFold seed 0, `util.py:160-186`), best")
+    A("test accuracy across epochs per fold, mean ± std — the U2GNN paper's")
+    A("metric.  Hardware: the one TPU v5e chip reachable from this container;")
+    A("runner: the chunked whole-CV-on-device dispatcher")
+    A("(`train/cv_ondevice.py`).")
+    A("")
+    A("## Supervised U2GNN, 10-fold accuracy — ALL runnable TU datasets")
+    A("")
+    A("| Dataset | Config | This framework | U2GNN paper (tuned/dataset) |")
+    A("|---|---|---|---|")
+    order = ["MUTAG", "PTC", "PROTEINS", "ENZYMES", "IMDBBINARY",
+             "IMDBMULTI", "NCI1", "NCI109"]
+    for name in order:
+        r = sup.get(name)
+        ours = (f"**{r['mean']:.4f} ± {r['std']:.4f}**" if r else "(pending)")
+        cfgs = (f"bs {r.get('batch', 4)}, K={r['K']}, T={r['T']}, ff 1024, "
+                f"lr 5e-4, {r['epochs']} ep" if r else "")
+        A(f"| {name} | {cfgs} | {ours} | {PAPER_SUP.get(name, '—')} |")
+    A("")
+    A("Notes: configs are the reference README's IMDBBINARY/PTC commands")
+    A("(`README.md:37-39`), IMDBBINARY-shaped elsewhere (the paper's")
+    A("per-dataset tuning is unpublished); NCI1/NCI109 run batch 16 (no")
+    A("published config; 4.1k graphs).  ENZYMES/NCI use node *tags* only —")
+    A("the reference loader's continuous-attribute branch is dead code, so")
+    A("ENZYMES (6-class, attributes matter) is structurally low for both.")
+    A("degree_as_tag auto-enables for IMDB* (reference behavior,")
+    A("`train_pytorch_U2GNN_Sup.py:46-48`).")
+    A("")
+
+    # per-dataset sweeps
+    for grid, rows in sweeps.items():
+        if not rows:
+            continue
+        ds = grid.split("_")[0]
+        A(f"### {ds} round-2 sweep ({grid}, full 10-fold per config)")
+        A("")
+        A("| Config | 10-fold accuracy |")
+        A("|---|---|")
+        for r in sorted(rows, key=lambda r: -r["mean"]):
+            A(f"| {r['name']} | {r['mean']:.4f} ± {r['std']:.4f} |")
+        A("")
+
+    if hpo_summary:
+        A("### Bayesian HPO on real training (GP-EI, full CV per trial)")
+        A("")
+        A(f"- dataset {hpo_summary['dataset']}, {hpo_summary['epochs']} epochs"
+          f"/trial: default config {hpo_summary['default_acc']:.4f} → best arm "
+          f"**{hpo_summary['best_acc']:.4f}** "
+          f"(+{hpo_summary['gain']*100:.1f} pts), params "
+          f"{hpo_summary['best_params']} — the reference's Ax harness claim "
+          "(+8% on IMDBBINARY unsup, README.md:43-47) reproduced in kind.")
+        A("- Search-quality benchmark vs quasi-random: "
+          "`runs/hpo/hpo_bo_vs_random.jsonl` (branin: GP wins 9/10 seeds; "
+          "halton needs ~14 trials to reach the GP's 10-trial best).")
+        A("")
+
+    A("## Unsupervised U2GNN (sampled-softmax embeddings + logistic probe)")
+    A("")
+    A("| Dataset | Config | This framework (best epoch) | U2GNN paper unsup |")
+    A("|---|---|---|---|")
+    for name in ["IMDBBINARY", "PTC", "MUTAG", "IMDBMULTI"]:
+        r = unsup.get(name)
+        ours = (f"**{r['mean']:.4f} ± {r['std']:.4f}** (ep {r['best_epoch']})"
+                if r else "(pending)")
+        cfgs = (f"bs 2, K={r['K']}, T={r['T']}, ff 1024, sampled 512, lr 1e-4"
+                if r else "")
+        A(f"| {name} | {cfgs} | {ours} | {PAPER_UNSUP.get(name, '—')} |")
+    A("")
+
+    if pallas:
+        A("## Pallas-path accuracy parity (MUTAG 10-fold, 50 epochs)")
+        A("")
+        A(f"- XLA path: {pallas['xla']['mean']:.4f} ± "
+          f"{pallas['xla']['std']:.4f}; fused Pallas kernel: "
+          f"{pallas['pallas']['mean']:.4f} ± {pallas['pallas']['std']:.4f}; "
+          f"|gap| = {pallas['abs_gap']:.4f} "
+          f"({'within' if pallas['within_fold_noise'] else 'OUTSIDE'} fold "
+          "noise, threshold 0.04 ≈ 2 MUTAG test graphs) — the benchmark's "
+          "kernel is the kernel accuracy was measured with.")
+        A("")
+
+    A("## Throughput (see BASELINE.md for methodology)")
+    A("")
+    bench = None
+    for p in ("BENCH_r02.json", "BENCH_r01.json"):
+        bench = _json(os.path.join(REPO, p))
+        if bench:
+            b = bench.get("parsed", bench)  # driver wraps the JSON line
+            if "value" in b:
+                A(f"- `{p}`: {b['value']:,} {b['unit']} "
+                  f"(vs_baseline ×{b['vs_baseline']}).")
+                break
+    A("- Reference comparison: PyTorch CPU (the reference is")
+    A("  cuda-if-available-else-cpu with no TPU/multi-chip path); matched-")
+    A("  config numbers in `runs/r2_queue.log` (torch bench at batch 16 and")
+    A("  batch 4).")
+    A("")
+    if roof:
+        A("## Roofline (v5e: 197 TFLOP/s bf16, 819 GB/s HBM)")
+        A("")
+        A("| Component | GFLOP | MB | roofline | measured | % of roofline | bound |")
+        A("|---|---|---|---|---|---|---|")
+        for r in roof["rows"]:
+            A(f"| {r['component']} | {r['gflop']} | {r['mb']} | "
+              f"{r['roofline_us']}µs | {r['measured_us']}µs | "
+              f"{r['pct_of_roofline']}% | {r['bound']} |")
+        A("")
+        A(f"- edges/s at measured step: "
+          f"{roof['edges_per_s_measured']/1e6:.2f}M; see BASELINE.md for the")
+        A("  kernel-level interpretation and the named next optimization.")
+        A("")
+
+    A("## Scaling")
+    A("")
+    A("- Halo exchange + regime-2 train step match single-device bit-for-bit")
+    A("  on the virtual 8-device mesh (`tests/test_edge_partition.py`).")
+    A("- A real 2-process `jax.distributed` CPU cluster trains the GSPMD")
+    A("  step to the single-process losses (`tests/test_multiprocess.py`);")
+    A("  launcher: `scripts/bench_scaling.py --multiprocess N`.")
+    A("- Hardware-independent efficiency prediction: ")
+    A("  `parallel.halo_cost_model` (collective bytes vs local FLOPs); the")
+    A("  2-core host's virtual-mesh efficiency column remains")
+    A("  oversubscription noise and is not quoted.")
+    A("")
+
+    out = os.path.join(REPO, "RESULTS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(L) + "\n")
+    print(f"wrote {out} ({len(L)} lines)")
+
+
+if __name__ == "__main__":
+    main()
