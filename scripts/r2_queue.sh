@@ -53,3 +53,9 @@ echo "=== r2 queue done $(date) ===" >> "$LOG"
 # 6. real-workload GP-HPO (appended while queue runs; bash reads lazily)
 run python scripts/hpo_real.py --trials 12 --epochs 25
 echo "=== r2 queue tail done $(date) ===" >> "$LOG"
+
+# 7. PROTEINS gap probes
+run python scripts/sweep_vmap.py --dataset PROTEINS_r2 --runner ondevice \
+    --out runs/sweep_vmap_r2/PROTEINS_r2.jsonl
+run python scripts/make_results.py
+echo "=== r2 queue tail2 done $(date) ===" >> "$LOG"
