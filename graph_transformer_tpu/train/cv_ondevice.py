@@ -152,7 +152,11 @@ def run_cv_on_device(
 
     num_epochs = cfg.train.num_epochs
     if epochs_per_dispatch is None:
-        epochs_per_dispatch = max(1, 1200 // steps)
+        # budget in graph-steps (steps × batch), not steps: a batch-16 step
+        # does 4× a batch-4 step's work, and the relay's dispatch limit is
+        # wall-clock (observed: NCI1 at 5 epochs × 232 steps × bs16 per
+        # dispatch crashed the worker; MUTAG at 25 × 43 × bs4 was fine)
+        epochs_per_dispatch = max(1, 4800 // max(1, steps * B))
     epochs_per_dispatch = min(epochs_per_dispatch, num_epochs)
     # exact division: the scan length is static, so a ragged last chunk
     # would either recompile or train past num_epochs — use the largest
