@@ -128,18 +128,13 @@ GRIDS = {
     # winners + the key axes under the fixed schedule.
     "PTC_r2": {
         "K16_T1": {"num_neighbors": 16, "num_timesteps": 1},
-        "K8_T1": {"num_neighbors": 8, "num_timesteps": 1},
-        "deg_K16_T3": {"degree_as_tag": True},
         "K16_T1_deg": {"num_neighbors": 16, "num_timesteps": 1,
                        "degree_as_tag": True},
         "ff128_K8_T4": {"ff_hidden_size": 128, "num_neighbors": 8,
                         "num_timesteps": 4},
         "K16_T1_ff128": {"num_neighbors": 16, "num_timesteps": 1,
                          "ff_hidden_size": 128},
-        "K16_T1_100ep": {"num_neighbors": 16, "num_timesteps": 1,
-                         "num_epochs": 100},
-        "drop0_K16_T1": {"num_neighbors": 16, "num_timesteps": 1,
-                         "dropout": 0.0},
+        "deg_K16_T3": {"degree_as_tag": True},
     },
     # close-the-gap probes for PROTEINS (matrix base 0.7376 vs paper ≈0.785)
     "PROTEINS_r2": {
