@@ -76,6 +76,13 @@ class TenfoldVmapRunner:
         ``mesh.axis_names[…fold_axis]`` so folds run on distinct chips
         (GSPMD partitions the vmapped program — there is no cross-fold
         communication, so scaling is embarrassingly parallel over ICI)."""
+        if cfg.model.use_pallas:
+            raise ValueError(
+                "TenfoldVmapRunner cannot vmap the fused Pallas kernel over "
+                "the fold axis (its scalar-prefetch seed array does not "
+                "batch); use the sequential SupTrainer loop for use_pallas "
+                "runs (scripts/pallas_parity_cv.py)"
+            )
         self.ds = ds
         self.cfg = cfg
         self.folds = (

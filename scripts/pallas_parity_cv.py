@@ -22,14 +22,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import numpy as np
+
 from graph_transformer_tpu.config import (
     DataConfig,
     ExperimentConfig,
     ModelConfig,
     TrainConfig,
 )
+from graph_transformer_tpu.data.splits import stratified_kfold_indices
 from graph_transformer_tpu.data.tu import load_tu_dataset
-from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
+from graph_transformer_tpu.train.sup_trainer import SupTrainer
+
+
+def run_cv_sequential(ds, cfg):
+    """Sequential per-fold CV (the fold-vmapped runners can't batch the
+    fused kernel: its scalar-prefetch seed array doesn't vmap — the kernel
+    is built for production single-model training, where there is no fold
+    axis)."""
+    folds = stratified_kfold_indices(ds.labels, 10, seed=0)
+    best = []
+    for tr, te in folds:
+        trainer = SupTrainer(ds, cfg, train_idx=tr, test_idx=te)
+        b = 0.0
+        for _ in range(cfg.train.num_epochs):
+            trainer.train_epoch_stacked()
+            b = max(b, trainer.evaluate())
+        best.append(b)
+        print(f"  fold best {b:.4f}", flush=True)
+    best = np.asarray(best)
+    return best, float(best.mean()), float(best.std())
 
 
 def main():
@@ -42,10 +64,12 @@ def main():
                 num_timesteps=4, num_hidden_layers=1, ff_hidden_size=1024,
                 use_pallas=use_pallas,
             ),
-            train=TrainConfig(learning_rate=5e-4, num_epochs=50),
+            train=TrainConfig(
+                learning_rate=5e-4, num_epochs=50, scan_epochs=True
+            ),
         )
         t0 = time.time()
-        accs, mean, std = run_cv_on_device(ds, cfg)
+        accs, mean, std = run_cv_sequential(ds, cfg)
         key = "pallas" if use_pallas else "xla"
         out[key] = {
             "mean": round(mean, 4), "std": round(std, 4),

@@ -22,3 +22,8 @@ run python scripts/sweep_vmap.py --dataset PROTEINS_r2 --runner ondevice \
     --out runs/sweep_vmap_r2/PROTEINS_r2.jsonl
 run python scripts/make_results.py
 echo "=== r2 queue2 done $(date) ===" >> "$LOG"
+
+# pallas parity (sequential runner — the kernel doesn't vmap over folds)
+run python scripts/pallas_parity_cv.py
+run python scripts/make_results.py
+echo "=== r2 queue2 tail done $(date) ===" >> "$LOG"

@@ -92,3 +92,20 @@ def test_chunked_dispatch_matches_single_dispatch(mutag):
     np.testing.assert_allclose(chunked[0], one[0])  # best accs
     np.testing.assert_allclose(chunked[3], one[3], rtol=1e-6)  # losses
     np.testing.assert_allclose(chunked[4], one[4])  # accuracies
+
+
+def test_use_pallas_rejected_by_fold_vmapped_runners(mutag):
+    """The fused kernel's scalar-prefetch seeds don't vmap over folds —
+    the runners must fail fast with a pointer to the sequential path."""
+    from graph_transformer_tpu.train.tenfold_vmap import TenfoldVmapRunner
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=32, use_pallas=True),
+        train=TrainConfig(num_epochs=1),
+    )
+    with pytest.raises(ValueError, match="Pallas"):
+        run_cv_on_device(mutag, cfg)
+    with pytest.raises(ValueError, match="Pallas"):
+        TenfoldVmapRunner(mutag, cfg)
