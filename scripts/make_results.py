@@ -71,9 +71,9 @@ def main():
     hpo_real = _jsonl(os.path.join(REPO, "runs/hpo/hpo_real_mutag.jsonl"))
     hpo_summary = next((r for r in hpo_real if r.get("summary")), None)
     sweeps = {}
-    for grid in ("PTC_r2", "MUTAG_r2"):
-        sweeps[grid] = _jsonl(
-            os.path.join(REPO, f"runs/sweep_vmap_r2/{grid}.jsonl"))
+    for grid in ("PTC_r2", "MUTAG_r2", "PROTEINS_r2"):
+        rows = _jsonl(os.path.join(REPO, f"runs/sweep_vmap_r2/{grid}.jsonl"))
+        sweeps[grid] = list({r["name"]: r for r in rows}.values())
 
     L = []
     A = L.append
