@@ -26,12 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# Reference throughput on this box (2-CPU, torch 2.x): 3,894 edges/s,
-# measured 2026-08-17 via scripts/bench_torch_reference.py — intended (TF)
-# neighborhood-attention semantics, batch 4, K=8, T=4, ff 1024.  See
-# BASELINE.md.  (The PyTorch reference's accidental node-axis attention is
-# O(N²) in batch nodes and did not finish a single step at this scale.)
-REFERENCE_EDGES_PER_S = float(os.environ.get("GT_REF_EDGES_PER_S", "3894"))
+# Reference throughput on this box (2-CPU, torch 2.x) via
+# scripts/bench_torch_reference.py at the IDENTICAL workload this bench
+# runs (batch 16, K=8, T=4, ff 1024, 1 hidden layer — intended TF
+# neighborhood-attention semantics; the PyTorch reference's accidental
+# node-axis attention is O(N²) in batch nodes and did not finish a single
+# step at this scale).  Best of repeated measurements, favoring the
+# reference: 1,697 edges/s at batch 16 (2026-08-19; second run 839); at
+# the README's batch 4 the reference reaches 3,894 (2026-08-17; runs on
+# 2026-08-19: 3,060 / 2,162).  See BASELINE.md.
+REFERENCE_EDGES_PER_S = float(os.environ.get("GT_REF_EDGES_PER_S", "1697"))
 
 BATCH, K, T, FF = 16, 8, 4, 1024
 WARMUP, STEPS = 10, 100
