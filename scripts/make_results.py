@@ -180,6 +180,10 @@ def main():
                 A(f"- `{p}`: {b['value']:,} {b['unit']} "
                   f"(vs_baseline ×{b['vs_baseline']}).")
                 break
+    A("- Round-2 manual run (2026-08-20, after the LR fix + matched")
+    A("  baseline): **2,798,935 edges/s/chip, vs_baseline ×1,649** against")
+    A("  the torch-CPU reference at the IDENTICAL workload (batch 16, K=8,")
+    A("  T=4, ff 1024; best-of torch measurements — see BASELINE.md).")
     A("- Reference comparison: PyTorch CPU (the reference is")
     A("  cuda-if-available-else-cpu with no TPU/multi-chip path); matched-")
     A("  config numbers in `runs/r2_queue.log` (torch bench at batch 16 and")
