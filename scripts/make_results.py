@@ -148,7 +148,8 @@ def main():
     A("")
     A("| Dataset | Config | This framework (best epoch) | U2GNN paper unsup |")
     A("|---|---|---|---|")
-    for name in ["IMDBBINARY", "PTC", "MUTAG", "IMDBMULTI"]:
+    for name in ["IMDBBINARY", "PTC", "MUTAG", "IMDBMULTI", "PROTEINS",
+                 "ENZYMES"]:
         r = unsup.get(name)
         ours = (f"**{r['mean']:.4f} ± {r['std']:.4f}** (ep {r['best_epoch']})"
                 if r else "(pending)")
@@ -156,6 +157,16 @@ def main():
                 if r else "")
         A(f"| {name} | {cfgs} | {ours} | {PAPER_UNSUP.get(name, '—')} |")
     A("")
+    hpo_unsup = _jsonl(
+        os.path.join(REPO, "runs/hpo/hpo_real_unsup_PTC.jsonl")
+    )
+    hu = next((r for r in hpo_unsup if r.get("summary")), None)
+    if hu:
+        A(f"- GP-HPO over the unsup space (the reference's exact Ax claim "
+          f"surface, README.md:43-47) on {hu['dataset']}: README config "
+          f"{hu['readme_acc']:.4f} → best arm **{hu['best_acc']:.4f}** "
+          f"({hu['gain']*100:+.1f} pts), params {hu['best_params']}.")
+        A("")
 
     if pallas:
         A("## Pallas-path accuracy parity (MUTAG 10-fold, 50 epochs)")
