@@ -77,7 +77,7 @@ def main():
 
     L = []
     A = L.append
-    A("# RESULTS — measured on real hardware (round 2)")
+    A("# RESULTS — measured on real hardware (rounds 2-3)")
     A("")
     A(f"Generated {date.today()} by `scripts/make_results.py` from the run")
     A("artifacts under `runs/` (regenerate after new runs land).  All round-1")
@@ -166,6 +166,37 @@ def main():
           f"surface, README.md:43-47) on {hu['dataset']}: README config "
           f"{hu['readme_acc']:.4f} → best arm **{hu['best_acc']:.4f}** "
           f"({hu['gain']*100:+.1f} pts), params {hu['best_params']}.")
+        A("")
+
+    ngs = _json(os.path.join(REPO, "runs/multiplex_ngs.json"))
+    if ngs:
+        A("## Multiplex node embeddings on real NGs.mat (the fork's headline extension)")
+        A("")
+        A(f"- Data: `code_m/data/NGs.mat` — {ngs['nodes']} newsgroup docs, "
+          f"{ngs['views']} views (+kNN-{ngs['protocol']['knn']} similarity "
+          f"layers), {ngs['classes']} classes; protocol = "
+          "`run_node_classification.py:13-34` (size_x 30, K=12, T=20, "
+          "2 hidden layers, ff 1024, dropout 0.2, "
+          f"{ngs['protocol']['epochs']} epochs, kmeans eval; 10% masks for "
+          "the logistic probe).")
+        A("")
+        A("| Pipeline | kmeans acc | purity | NMI | ARI | logistic |")
+        A("|---|---|---|---|---|---|")
+        for tag, m in ngs["runs"].items():
+            A(f"| multilayer U2GNN ({tag.replace('_', ', ')}) | "
+              f"**{m['accuracy']:.4f}** | {m['purity']:.4f} | "
+              f"{m['nmi']:.4f} | {m['ari']:.4f} | {m['logistic']:.4f} |")
+        for name, m in ngs["spectral"].items():
+            A(f"| spectral, {name.replace('_', '-')} Laplacian | "
+              f"{m['accuracy']:.4f} | {m['purity']:.4f} | {m['nmi']:.4f} | "
+              f"{m['ari']:.4f} | — |")
+        A("")
+        A("- The geometric-mean Laplacian beats the arithmetic mean (0.984 vs")
+        A("  0.914), reproducing the `code_m/Multilayer_GeometricMean.ipynb`")
+        A("  ordering; the trained multilayer U2GNN embeddings reach the")
+        A("  geometric-mean level (0.98-0.982 contrastive) without any")
+        A("  Laplacian eigendecomposition.  Artifact: `runs/multiplex_ngs.json`")
+        A("  (`scripts/run_multiplex_ngs.py`).")
         A("")
 
     if pallas:
