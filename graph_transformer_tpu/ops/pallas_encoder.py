@@ -49,6 +49,7 @@ except Exception:  # pragma: no cover
 from graph_transformer_tpu.ops.pallas_ffn import (
     _dropout_mask,
     _pad_rows,
+    _r2,
     _seed_arr,
     on_tpu,
 )
@@ -92,7 +93,8 @@ def _ln_bwd(dout, uhat, rstd, g):
     gg = dout * g
     du = (gg - jnp.mean(gg, axis=-1, keepdims=True)
           - uhat * jnp.mean(gg * uhat, axis=-1, keepdims=True)) * rstd
-    return du, jnp.sum(dout * uhat, axis=0), jnp.sum(dout, axis=0)
+    return (du, jnp.sum(dout * uhat, axis=0, keepdims=True),
+            jnp.sum(dout, axis=0, keepdims=True))
 
 
 def _forward_tile(x, w_in, b_in, w_out, b_out, ln1g, ln1b,
@@ -144,7 +146,7 @@ def _fwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
                 ln1g_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 ln2g_ref, ln2b_ref, out_ref, *, S, rate):
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
     out = _forward_tile(
         x_ref[:].astype(jnp.float32),
         w_in_ref[:], b_in_ref[:].astype(jnp.float32),
@@ -166,7 +168,7 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
                 dln2g_ref, dln2b_ref, *, S, rate):
     i = pl.program_id(0)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + i)
+        pltpu.prng_seed(seed_ref[0, 0] + i)
     x = x_ref[:].astype(jnp.float32)
     mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     keep = 1.0 - rate
@@ -191,13 +193,13 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
     du2, dln2g, dln2b = _ln_bwd(dout, r["uhat2"], r["rstd2"],
                                 ln2g_ref[:].astype(jnp.float32))
     dz = du2 * r["m_z"] / keep if rate > 0.0 else du2
-    db2 = jnp.sum(dz, axis=0)
+    db2 = jnp.sum(dz, axis=0, keepdims=True)
     dw2 = _dotT_lhs(r["h"].astype(mm), dz.astype(mm))
     dh = _dotT_rhs(dz.astype(mm), w2.astype(mm))
     if rate > 0.0:
         dh = dh * r["m_h"] / keep
     dh = dh * (r["hpre"] > 0.0).astype(jnp.float32)
-    db1 = jnp.sum(dh, axis=0)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
     dw1 = _dotT_lhs(r["y1"].astype(mm), dh.astype(mm))
     dy1 = du2 + _dotT_rhs(dh.astype(mm), w1.astype(mm))
 
@@ -205,7 +207,7 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
     du1, dln1g, dln1b = _ln_bwd(dy1, r["uhat1"], r["rstd1"],
                                 ln1g_ref[:].astype(jnp.float32))
     da = du1 * r["m_a"] / keep if rate > 0.0 else du1
-    db_out = jnp.sum(da, axis=0)
+    db_out = jnp.sum(da, axis=0, keepdims=True)
     dw_out = _dotT_lhs(r["ctx"].astype(mm), da.astype(mm))
     dctx = _dotT_rhs(da.astype(mm), w_out.astype(mm))
     dattn_d = _dotT_rhs(dctx.astype(mm), r["v"].astype(mm))  # [R, R]
@@ -219,7 +221,7 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
                  preferred_element_type=jnp.float32)
     dk = _dotT_lhs(ds.astype(mm), r["q"].astype(mm))
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)  # [R, 3D]
-    db_in = jnp.sum(dqkv, axis=0)
+    db_in = jnp.sum(dqkv, axis=0, keepdims=True)
     dw_in = _dotT_lhs(x.astype(mm), dqkv.astype(mm))
     dx = du1 + _dotT_rhs(dqkv.astype(mm), w_in.astype(mm))
 
@@ -247,16 +249,22 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
 
 
 # ---------------------------------------------------------------- dispatcher
+_SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0))
+
+
 def _in_specs(R, D, F):
-    full = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    # 1-D params travel as (1, n): 1-D blocks batch to (Squeezed, n) under
+    # vmap, which the Mosaic layout check rejects (see pallas_ffn._row_specs)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return [
-        pl.BlockSpec((R, D), lambda i, *_: (i, 0)),  # x
-        full(D, 3 * D), full(3 * D),                 # w_in, b_in
-        full(D, D), full(D),                         # w_out, b_out
-        full(D), full(D),                            # ln1 γ β
-        full(D, F), full(F),                         # w1, b1
-        full(F, D), full(D),                         # w2, b2
-        full(D), full(D),                            # ln2 γ β
+        _SEED_SPEC,                                  # seed (1,1) — see _seed_arr
+        pl.BlockSpec((R, D), lambda i: (i, 0)),      # x
+        full(D, 3 * D), full(1, 3 * D),              # w_in, b_in
+        full(D, D), full(1, D),                      # w_out, b_out
+        full(1, D), full(1, D),                      # ln1 γ β
+        full(D, F), full(1, F),                      # w1, b1
+        full(F, D), full(1, D),                      # w2, b2
+        full(1, D), full(1, D),                      # ln2 γ β
     ]
 
 
@@ -283,16 +291,13 @@ def _fwd_call(x2d, w_in, b_in, w_out, b_out, ln1g, ln1b, w1, b1, w2, b2,
     grid = (xp.shape[0] // R,)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, S=seq_len, rate=rate),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=_in_specs(R, D, F),
-            out_specs=pl.BlockSpec((R, D), lambda i, *_: (i, 0)),
-        ),
+        grid=grid,
+        in_specs=_in_specs(R, D, F),
+        out_specs=pl.BlockSpec((R, D), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
         interpret=interpret,
-    )(_seed_arr(seed), xp, w_in, b_in, w_out, b_out, ln1g, ln1b,
-      w1, b1, w2, b2, ln2g, ln2b)
+    )(_seed_arr(seed), xp, w_in, _r2(b_in), w_out, _r2(b_out),
+      _r2(ln1g), _r2(ln1b), w1, _r2(b1), w2, _r2(b2), _r2(ln2g), _r2(ln2b))
     return out[:m]
 
 
@@ -313,43 +318,41 @@ def _bwd_rule(seq_len, rate, tile_target, interpret, res, dout):
     xp, m = _pad_rows(x2d, R)
     gp, _ = _pad_rows(dout.astype(x2d.dtype), R)
     grid = (xp.shape[0] // R,)
-    full_out = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    full_out = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, S=seq_len, rate=rate),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=_in_specs(R, D, F)
-            + [pl.BlockSpec((R, D), lambda i, *_: (i, 0))],
-            out_specs=[
-                pl.BlockSpec((R, D), lambda i, *_: (i, 0)),
-                full_out(D, 3 * D), full_out(3 * D),
-                full_out(D, D), full_out(D),
-                full_out(D), full_out(D),
-                full_out(D, F), full_out(F),
-                full_out(F, D), full_out(D),
-                full_out(D), full_out(D),
-            ],
-        ),
+        grid=grid,
+        in_specs=_in_specs(R, D, F)
+        + [pl.BlockSpec((R, D), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((R, D), lambda i: (i, 0)),
+            full_out(D, 3 * D), full_out(1, 3 * D),
+            full_out(D, D), full_out(1, D),
+            full_out(1, D), full_out(1, D),
+            full_out(D, F), full_out(1, F),
+            full_out(F, D), full_out(1, D),
+            full_out(1, D), full_out(1, D),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
             jax.ShapeDtypeStruct((D, 3 * D), f32),
-            jax.ShapeDtypeStruct((3 * D,), f32),
+            jax.ShapeDtypeStruct((1, 3 * D), f32),
             jax.ShapeDtypeStruct((D, D), f32),
-            jax.ShapeDtypeStruct((D,), f32),
-            jax.ShapeDtypeStruct((D,), f32),
-            jax.ShapeDtypeStruct((D,), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
             jax.ShapeDtypeStruct((D, F), f32),
-            jax.ShapeDtypeStruct((F,), f32),
+            jax.ShapeDtypeStruct((1, F), f32),
             jax.ShapeDtypeStruct((F, D), f32),
-            jax.ShapeDtypeStruct((D,), f32),
-            jax.ShapeDtypeStruct((D,), f32),
-            jax.ShapeDtypeStruct((D,), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
         ],
         interpret=interpret,
-    )(_seed_arr(seed), xp, w_in, b_in, w_out, b_out, ln1g, ln1b,
-      w1, b1, w2, b2, ln2g, ln2b, gp)
+    )(_seed_arr(seed), xp, w_in, _r2(b_in), w_out, _r2(b_out),
+      _r2(ln1g), _r2(ln1b), w1, _r2(b1), w2, _r2(b2), _r2(ln2g), _r2(ln2b),
+      gp)
     (dx, dw_in, db_in, dw_out, db_out, dln1g, dln1b,
      dw1, db1, dw2, db2, dln2g, dln2b) = outs
     import numpy as _np
@@ -360,12 +363,18 @@ def _bwd_rule(seq_len, rate, tile_target, interpret, res, dout):
     )
     return (
         dx[:m],
-        dw_in.astype(w_in.dtype), db_in.astype(b_in.dtype),
-        dw_out.astype(w_out.dtype), db_out.astype(b_out.dtype),
-        dln1g.astype(ln1g.dtype), dln1b.astype(ln1b.dtype),
-        dw1.astype(w1.dtype), db1.astype(b1.dtype),
-        dw2.astype(w2.dtype), db2.astype(b2.dtype),
-        dln2g.astype(ln2g.dtype), dln2b.astype(ln2b.dtype),
+        dw_in.astype(w_in.dtype),
+        db_in.reshape(b_in.shape).astype(b_in.dtype),
+        dw_out.astype(w_out.dtype),
+        db_out.reshape(b_out.shape).astype(b_out.dtype),
+        dln1g.reshape(ln1g.shape).astype(ln1g.dtype),
+        dln1b.reshape(ln1b.shape).astype(ln1b.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dln2g.reshape(ln2g.shape).astype(ln2g.dtype),
+        dln2b.reshape(ln2b.shape).astype(ln2b.dtype),
         seed_ct,
     )
 

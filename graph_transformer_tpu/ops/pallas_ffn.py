@@ -74,7 +74,7 @@ def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     mm = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
     x = x_ref[:].astype(jnp.float32)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + i)
+        pltpu.prng_seed(seed_ref[0, 0] + i)
     hpre = jnp.dot(x.astype(mm), w1_ref[:].astype(mm),
                    preferred_element_type=jnp.float32) + b1_ref[:].astype(jnp.float32)
     h = jnp.maximum(hpre, 0.0)
@@ -109,7 +109,7 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     # --- recompute forward (identical PRNG stream as _fwd_kernel)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + i)
+        pltpu.prng_seed(seed_ref[0, 0] + i)
     hpre = jnp.dot(x.astype(mm), w1, preferred_element_type=jnp.float32) + b1_ref[:].astype(jnp.float32)
     h0 = jnp.maximum(hpre, 0.0)
     if rate > 0.0:
@@ -131,8 +131,8 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     gg = dout * gam  # [T, D]
     du = (gg - jnp.mean(gg, axis=-1, keepdims=True)
           - uhat * jnp.mean(gg * uhat, axis=-1, keepdims=True)) * rstd
-    dgamma = jnp.sum(dout * uhat, axis=0)  # [D]
-    dbeta = jnp.sum(dout, axis=0)  # [D]
+    dgamma = jnp.sum(dout * uhat, axis=0, keepdims=True)  # [1, D]
+    dbeta = jnp.sum(dout, axis=0, keepdims=True)  # [1, D]
 
     # --- FFN backward (du flows to both residual x and y).
     # All contractions via dot_general with explicit dimension numbers — an
@@ -150,13 +150,13 @@ def _bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dy = du
     if rate > 0.0:
         dy = dy * mask2 / keep
-    db2 = jnp.sum(dy, axis=0)
+    db2 = jnp.sum(dy, axis=0, keepdims=True)
     dw2 = _dotT_lhs(h.astype(mm), dy.astype(mm))  # [F, D]
     dh = _dotT_rhs(dy.astype(mm), w2)  # [T, F]
     if rate > 0.0:
         dh = dh * mask1 / keep
     dh = dh * (hpre > 0.0).astype(jnp.float32)
-    db1 = jnp.sum(dh, axis=0)
+    db1 = jnp.sum(dh, axis=0, keepdims=True)
     dw1 = _dotT_lhs(x.astype(mm), dh.astype(mm))  # [D, F]
     dx = du + _dotT_rhs(dh.astype(mm), w1)  # [T, D]
 
@@ -191,17 +191,18 @@ def _pad_rows(x, tile):
 def _row_specs(tile, d, f):
     """(in_specs for x, w1, b1, w2, b2, gamma, beta).
 
-    Index maps take (*grid_indices, *scalar_prefetch_refs) — hence ``*_``.
-    """
-    full = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    1-D params (biases, LN scale/shift) travel as (1, n) 2-D arrays: a 1-D
+    block batches to (Squeezed, n) under vmap, which the Mosaic layout check
+    rejects; (1, n) blocks batch cleanly (see _seed_arr)."""
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     return [
-        pl.BlockSpec((tile, d), lambda i, *_: (i, 0)),
+        pl.BlockSpec((tile, d), lambda i: (i, 0)),
         full(d, f),
-        full(f),
+        full(1, f),
         full(f, d),
-        full(d),
-        full(d),
-        full(d),
+        full(1, d),
+        full(1, d),
+        full(1, d),
     ]
 
 
@@ -221,9 +222,25 @@ def ffn_residual_ln(x, w1, b1, w2, b2, gamma, beta, seed=None,
 
 
 def _seed_arr(seed):
+    """Seed as a regular (1, 1) int32 VMEM input.
+
+    NOT scalar-prefetch: a batched scalar-prefetch operand sends the whole
+    pallas_call down jax's sequential ``_batch_with_explicit_loop`` fallback,
+    which would serialize the fold-vmapped CV runners.  A plain (1, 1) input
+    batches natively (the vmap axis becomes a leading grid dimension;
+    ``pl.program_id`` keeps indexing the *user* grid — vmapped dims are
+    excluded from the kernel-visible grid indices)."""
     if seed is None:
-        return jnp.zeros((1,), jnp.int32)
-    return jnp.asarray(seed, jnp.int32).reshape((1,))
+        return jnp.zeros((1, 1), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape((1, 1))
+
+
+_SEED_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0))
+
+
+def _r2(v):
+    """1-D param -> (1, n) (see _row_specs)."""
+    return v.reshape(1, -1)
 
 
 def _fwd_call(x, w1, b1, w2, b2, gamma, beta, seed, rate, tile, interpret):
@@ -232,15 +249,12 @@ def _fwd_call(x, w1, b1, w2, b2, gamma, beta, seed, rate, tile, interpret):
     grid = (xp.shape[0] // tile,)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate, eps=1e-5),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=_row_specs(tile, d, f),
-            out_specs=pl.BlockSpec((tile, d), lambda i, *_: (i, 0)),
-        ),
+        grid=grid,
+        in_specs=[_SEED_SPEC] + _row_specs(tile, d, f),
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
         interpret=interpret,
-    )(_seed_arr(seed), xp, w1, b1, w2, b2, gamma, beta)
+    )(_seed_arr(seed), xp, w1, _r2(b1), w2, _r2(b2), _r2(gamma), _r2(beta))
     return out[:m]
 
 
@@ -255,36 +269,33 @@ def _bwd_rule(rate, tile, interpret, res, dout):
     xp, m = _pad_rows(x, tile)
     gp, _ = _pad_rows(dout.astype(x.dtype), tile)
     grid = (xp.shape[0] // tile,)
-    full_out = lambda *shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape))
+    full_out = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     f32 = jnp.float32
     dx, dw1, db1, dw2, db2, dg, dbeta = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, eps=1e-5),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=_row_specs(tile, d, f)
-            + [pl.BlockSpec((tile, d), lambda i, *_: (i, 0))],
-            out_specs=[
-                pl.BlockSpec((tile, d), lambda i, *_: (i, 0)),
-                full_out(d, f),
-                full_out(f),
-                full_out(f, d),
-                full_out(d),
-                full_out(d),
-                full_out(d),
-            ],
-        ),
+        grid=grid,
+        in_specs=[_SEED_SPEC] + _row_specs(tile, d, f)
+        + [pl.BlockSpec((tile, d), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            full_out(d, f),
+            full_out(1, f),
+            full_out(f, d),
+            full_out(1, d),
+            full_out(1, d),
+            full_out(1, d),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct(xp.shape, x.dtype),
             jax.ShapeDtypeStruct((d, f), f32),
-            jax.ShapeDtypeStruct((f,), f32),
+            jax.ShapeDtypeStruct((1, f), f32),
             jax.ShapeDtypeStruct((f, d), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
         ],
         interpret=interpret,
-    )(_seed_arr(seed), xp, w1, b1, w2, b2, gamma, beta, gp)
+    )(_seed_arr(seed), xp, w1, _r2(b1), w2, _r2(b2), _r2(gamma), _r2(beta), gp)
     import numpy as _np
 
     seed_ct = (
@@ -295,11 +306,11 @@ def _bwd_rule(rate, tile, interpret, res, dout):
     return (
         dx[:m],
         dw1.astype(w1.dtype),
-        db1.astype(b1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(b2.dtype),
-        dg.astype(gamma.dtype),
-        dbeta.astype(beta.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dg.reshape(gamma.shape).astype(gamma.dtype),
+        dbeta.reshape(beta.shape).astype(beta.dtype),
         seed_ct,
     )
 

@@ -78,13 +78,9 @@ def run_cv_on_device(
     ``mesh``: optional device mesh — the fold axis is sharded over
     ``fold_axis`` (embarrassingly parallel, no cross-fold collectives), the
     dataset/CSR replicated."""
-    if cfg.model.use_pallas:
-        raise ValueError(
-            "run_cv_on_device cannot vmap the fused Pallas kernel over the "
-            "fold axis (its scalar-prefetch seed array does not batch); "
-            "use the sequential SupTrainer loop for use_pallas runs "
-            "(scripts/pallas_parity_cv.py)"
-        )
+    # use_pallas is fold-vmappable: the kernels take their dropout seed as a
+    # regular (1,1) SMEM input (ops/pallas_ffn._seed_arr), so vmap folds the
+    # fold axis into the kernel grid instead of serializing.
     if folds is None:
         folds = stratified_kfold_indices(ds.labels, num_folds, seed=0)
     F = len(folds)

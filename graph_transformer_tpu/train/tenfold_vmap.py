@@ -76,13 +76,10 @@ class TenfoldVmapRunner:
         ``mesh.axis_names[…fold_axis]`` so folds run on distinct chips
         (GSPMD partitions the vmapped program — there is no cross-fold
         communication, so scaling is embarrassingly parallel over ICI)."""
-        if cfg.model.use_pallas:
-            raise ValueError(
-                "TenfoldVmapRunner cannot vmap the fused Pallas kernel over "
-                "the fold axis (its scalar-prefetch seed array does not "
-                "batch); use the sequential SupTrainer loop for use_pallas "
-                "runs (scripts/pallas_parity_cv.py)"
-            )
+        # use_pallas is fold-vmappable since the kernels take their dropout
+        # seed as a regular (1,1) input (ops/pallas_ffn._seed_arr): the vmap
+        # axis becomes a leading grid dimension instead of hitting jax's
+        # sequential scalar-prefetch fallback.
         self.ds = ds
         self.cfg = cfg
         self.folds = (

@@ -94,9 +94,13 @@ def test_chunked_dispatch_matches_single_dispatch(mutag):
     np.testing.assert_allclose(chunked[4], one[4])  # accuracies
 
 
-def test_use_pallas_rejected_by_fold_vmapped_runners(mutag):
-    """The fused kernel's scalar-prefetch seeds don't vmap over folds —
-    the runners must fail fast with a pointer to the sequential path."""
+def test_use_pallas_fold_vmaps(mutag):
+    """use_pallas now fold-vmaps: the kernels' dropout seed is a regular
+    (1,1) input, not scalar-prefetch, so vmap folds the fold axis into the
+    kernel grid (round-2 guard d55a3fa removed).  Off-TPU this exercises the
+    interpret-mode kernel under vmap on the deterministic (eval) path; the
+    training path falls back to XLA off-TPU (dropout needs the TPU PRNG)."""
+    from graph_transformer_tpu.data.splits import stratified_kfold_indices
     from graph_transformer_tpu.train.tenfold_vmap import TenfoldVmapRunner
 
     cfg = ExperimentConfig(
@@ -105,7 +109,8 @@ def test_use_pallas_rejected_by_fold_vmapped_runners(mutag):
                           ff_hidden_size=32, use_pallas=True),
         train=TrainConfig(num_epochs=1),
     )
-    with pytest.raises(ValueError, match="Pallas"):
-        run_cv_on_device(mutag, cfg)
-    with pytest.raises(ValueError, match="Pallas"):
-        TenfoldVmapRunner(mutag, cfg)
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+    runner = TenfoldVmapRunner(mutag, cfg, folds=folds)
+    best, _, _ = runner.run()
+    assert best.shape == (2,)
+    assert np.all(best >= 0.0) and np.all(best <= 1.0)
