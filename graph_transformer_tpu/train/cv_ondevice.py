@@ -61,6 +61,7 @@ def run_cv_on_device(
     mesh: Optional[jax.sharding.Mesh] = None,
     fold_axis: str = "data",
     epochs_per_dispatch: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Full CV on device; returns ``(best_accs [F], mean, std)``
     (plus ``(epoch_losses, epoch_accs)`` histories [epochs, F] when
@@ -270,7 +271,37 @@ def run_cv_on_device(
 
     elosses, eaccs = [], []
     n_chunks = (num_epochs + epochs_per_dispatch - 1) // epochs_per_dispatch
-    for c in range(n_chunks):
+    chunk0 = 0
+    ckpt_dir = checkpoint_dir or cfg.train.checkpoint_dir
+    if ckpt_dir:
+        # preemption-safe sweeps: the whole CV carry snapshots at every
+        # chunk boundary; a restarted process resumes mid-CV and reproduces
+        # the uninterrupted result bit-for-bit (RNG keys derive from the
+        # absolute epoch index, not from resume-relative state).
+        from graph_transformer_tpu.train.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        path = latest_checkpoint(ckpt_dir)
+        if path is not None:
+            params_r, opt_r, extra = restore_checkpoint(
+                path, carry[0], carry[1]
+            )
+            chunk0 = int(extra["chunk"])
+            carry = (
+                params_r,
+                opt_r,
+                jnp.asarray(extra["best_f"], jnp.float32),
+                jnp.asarray(extra["hist_f"], jnp.float32),
+                jnp.asarray(extra["npl_f"], jnp.int32),
+            )
+            if mesh is not None:
+                carry = tuple(jax.device_put(a, shard) for a in carry)
+            elosses = [np.asarray(a, np.float32)
+                       for a in extra["elosses"]]
+            eaccs = [np.asarray(a, np.float32) for a in extra["eaccs"]]
+    for c in range(chunk0, n_chunks):
         e0 = jnp.asarray(c * epochs_per_dispatch, jnp.int32)
         out = cv_chunk(*carry, e0, *fold_args, key)
         carry = out[:5]
@@ -278,6 +309,28 @@ def run_cv_on_device(
         # so each dispatch stays bounded
         elosses.append(np.asarray(out[5]))
         eaccs.append(np.asarray(out[6]))
+        if ckpt_dir and c < n_chunks - 1:
+            from graph_transformer_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                ckpt_dir,
+                c + 1,
+                jax.device_get(carry[0]),
+                jax.device_get(carry[1]),
+                extra={
+                    "chunk": c + 1,
+                    "best_f": np.asarray(carry[2]),
+                    "hist_f": np.asarray(carry[3]),
+                    "npl_f": np.asarray(carry[4]),
+                    "elosses": [a.tolist() for a in elosses],
+                    "eaccs": [a.tolist() for a in eaccs],
+                },
+            )
+            if mesh is not None:
+                # device_get pulled the donated carry to host; re-shard
+                carry = tuple(
+                    jax.device_put(a, shard) for a in carry
+                )
     best = np.asarray(carry[2])
     eloss = np.concatenate(elosses, axis=1)[:, :num_epochs]
     eacc = np.concatenate(eaccs, axis=1)[:, :num_epochs]

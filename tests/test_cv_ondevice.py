@@ -114,3 +114,37 @@ def test_use_pallas_fold_vmaps(mutag):
     best, _, _ = runner.run()
     assert best.shape == (2,)
     assert np.all(best >= 0.0) and np.all(best <= 1.0)
+
+
+def test_checkpoint_resume_bitexact(mutag, tmp_path):
+    """Chunk-boundary checkpointing: a run resumed from the chunk-1
+    snapshot reproduces the uninterrupted run bit-for-bit (RNG keys derive
+    from absolute epoch indices, so resume is invisible to training)."""
+    from graph_transformer_tpu.data.splits import stratified_kfold_indices
+
+    pytest.importorskip("orbax.checkpoint")
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=32),
+        train=TrainConfig(num_epochs=4, learning_rate=5e-4),
+    )
+    folds = stratified_kfold_indices(mutag.labels, 10, seed=0)[:2]
+
+    # uninterrupted reference (2 chunks, no checkpointing)
+    ref = run_cv_on_device(mutag, cfg, folds=folds, return_history=True,
+                           epochs_per_dispatch=2)
+
+    # run 1 with checkpointing: saves the carry after chunk 0
+    ckpt = str(tmp_path / "cv_ckpt")
+    first = run_cv_on_device(mutag, cfg, folds=folds, return_history=True,
+                             epochs_per_dispatch=2, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(first[0], ref[0])
+
+    # run 2 resumes from the chunk-0 snapshot ("killed" after chunk 0) and
+    # must reproduce the uninterrupted histories exactly
+    resumed = run_cv_on_device(mutag, cfg, folds=folds, return_history=True,
+                               epochs_per_dispatch=2, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(resumed[0], ref[0])  # best accs
+    np.testing.assert_array_equal(resumed[3], ref[3])  # epoch losses
+    np.testing.assert_array_equal(resumed[4], ref[4])  # epoch accs
