@@ -66,6 +66,10 @@ class ModelConfig:
     # universal_transformer_modified_utils.py:552-1654):
     # basic | skip | highway | gru | act.  Non-basic implies weight tying.
     recurrence: str = "basic"
+    # ACT ponder-cost regularization weight: loss += w * ponder, the t2t
+    # act_loss (universal_transformer_modified.py:343; t2t hparam default
+    # 0.01).  Only active when recurrence == "act".
+    act_loss_weight: float = 0.01
     # Loss head for unsupervised models: default (sampled softmax) | gae | contrastive
     loss_type: str = "default"
     # Negative-candidate source for loss_type='default':

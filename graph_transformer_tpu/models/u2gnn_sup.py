@@ -93,13 +93,19 @@ class U2GNNSup:
         params: U2GNNSupParams,
         batch: GraphBatch,
         rng: Optional[jax.Array] = None,  # None => deterministic (eval)
+        return_ponder: bool = False,
     ) -> jax.Array:
-        """Return prediction scores [B, C]."""
+        """Return prediction scores [B, C] (``(scores, ponder)`` when
+        ``return_ponder`` — the summed ACT ponder cost over U2GNN layers,
+        0.0 for non-ACT recurrences; trainers add
+        ``cfg.model.act_loss_weight * ponder`` to the loss, matching t2t's
+        act_loss, ``universal_transformer_modified.py:343``)."""
         cfg = self.cfg
         B = batch.num_graphs
         x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
         neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]
         scores = 0.0
+        ponder = jnp.zeros(())
         for i, enc in enumerate(params.encoders):
             if rng is not None:
                 rng, r_enc, r_drop = jax.random.split(rng, 3)
@@ -119,7 +125,11 @@ class U2GNNSup:
                 use_pallas=cfg.use_pallas,
                 recurrence=cfg.recurrence,
                 rec_params=params.rec[i] if params.rec else None,
+                return_ponder=return_ponder,
             )  # [N_pad, D]
+            if return_ponder:
+                out, p_i = out
+                ponder = ponder + p_i
             # re-gather updated self vectors as next layer's neighborhoods
             neigh_feat = out[batch.neigh]
             pooled = graph_sum_pool(
@@ -128,4 +138,6 @@ class U2GNNSup:
             if r_drop is not None:
                 pooled = _dropout(pooled, cfg.dropout, r_drop)
             scores = scores + pooled @ params.head_w[i] + params.head_b[i]
+        if return_ponder:
+            return scores, ponder
         return scores

@@ -276,8 +276,13 @@ def transformer_encoder(
     use_pallas: bool = False,
     recurrence: str = "basic",
     rec_params=None,
+    return_ponder: bool = False,
 ) -> jax.Array:
     """Run the T-layer encoder stack (or T weight-tied timesteps).
+
+    ``return_ponder``: also return the ACT ponder cost (the scalar t2t adds
+    to the loss as ``act_loss``, ``universal_transformer_modified.py:343``);
+    0.0 for non-ACT recurrences.
 
     If ``num_timesteps`` exceeds the stored layer count, the parameter stack
     is replayed cyclically — with a single stored layer this is exactly the
@@ -289,9 +294,6 @@ def transformer_encoder(
     zoo, ``universal_transformer_modified_utils.py:552-1654``); non-basic
     kinds other than ``skip`` need matching ``rec_params``
     (:func:`~graph_transformer_tpu.ops.ut_recurrence.init_recurrence_params`).
-    ACT discards the ponder cost here; call
-    :func:`~graph_transformer_tpu.ops.ut_recurrence.act_encoder` directly to
-    regularize with it.
     """
     stored = params.w_in.shape[0]
     T = stored if num_timesteps is None else num_timesteps
@@ -314,10 +316,10 @@ def transformer_encoder(
         from graph_transformer_tpu.ops.ut_recurrence import act_encoder
 
         subs = [split() for _ in range(T)]
-        out, _ponder = act_encoder(
+        out, ponder = act_encoder(
             lambda h, t: layer_at(h, t, subs[t]), x, rec_params, T
         )
-        return out
+        return (out, ponder) if return_ponder else out
 
     # Unrolled python loop: T is tiny (≤6 in all reference configs) and
     # unrolling lets XLA fuse across layers; a lax.scan would force dynamic
@@ -350,7 +352,7 @@ def transformer_encoder(
             history.append(h)
         else:
             raise ValueError(f"unknown recurrence {recurrence!r}")
-    return h
+    return (h, jnp.zeros((), h.dtype)) if return_ponder else h
 
 
 def neighborhood_encoder(
@@ -365,8 +367,10 @@ def neighborhood_encoder(
     use_pallas: bool = False,
     recurrence: str = "basic",
     rec_params=None,
+    return_ponder: bool = False,
 ) -> jax.Array:
-    """Encode sampled neighborhoods; return updated *self* vectors [N_pad, D].
+    """Encode sampled neighborhoods; return updated *self* vectors [N_pad, D]
+    (``(out, ponder_cost)`` when ``return_ponder`` — 0.0 unless ACT).
 
     ``axis='neighborhood'``: attention over the K+1 slots of each node
     (intended semantics).  ``axis='node'``: attention across the node axis
@@ -377,10 +381,53 @@ def neighborhood_encoder(
     Slot 0 (self) is returned either way, matching ``split(dim=1)[0]``.
     """
     if axis == "neighborhood":
+        from graph_transformer_tpu.ops.pallas_encoder import on_tpu as _on_tpu
+
+        stored = params.w_in.shape[0]
+        T = stored if num_timesteps is None else num_timesteps
+        # Whole-encoder mega-kernel: all T layers + slot-0 extraction in one
+        # pallas_call fwd / one bwd (ops/pallas_u2gnn.py).  Basic recurrence,
+        # single head only; off-TPU the interpret kernel covers the
+        # deterministic path.
+        fused_ok = (
+            use_pallas
+            and num_heads == 1
+            and recurrence == "basic"
+            and (_on_tpu() or rng is None or dropout_rate <= 0.0)
+        )
+        if fused_ok:
+            from graph_transformer_tpu.ops.pallas_u2gnn import (
+                fused_u2gnn_encoder,
+            )
+
+            B, S, D = neigh_feat.shape
+            if rng is not None and dropout_rate > 0.0:
+                rng, sub = jax.random.split(rng)
+                seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+                rate = dropout_rate
+            else:
+                seed, rate = None, 0.0
+            stacked = (
+                params.w_in, params.b_in, params.w_out, params.b_out,
+                params.ln1_scale, params.ln1_bias,
+                params.w_ff1, params.b_ff1, params.w_ff2, params.b_ff2,
+                params.ln2_scale, params.ln2_bias,
+            )
+            out = fused_u2gnn_encoder(
+                neigh_feat.reshape(B * S, D), stacked, seed,
+                S, T, rate, 512, not _on_tpu(),
+            ).astype(neigh_feat.dtype)
+            if return_ponder:
+                return out, jnp.zeros((), out.dtype)
+            return out
         out = transformer_encoder(
             params, neigh_feat, num_heads, dropout_rate, rng, num_timesteps,
             use_pallas=use_pallas, recurrence=recurrence, rec_params=rec_params,
+            return_ponder=return_ponder,
         )
+        if return_ponder:
+            out, ponder = out
+            return out[:, 0, :], ponder
         return out[:, 0, :]
     elif axis == "node":
         # [N, K+1, D] -> sequences along N: batch = K+1 columns
@@ -389,7 +436,11 @@ def neighborhood_encoder(
             params, x, num_heads, dropout_rate, rng, num_timesteps,
             key_mask=node_mask, use_pallas=use_pallas,
             recurrence=recurrence, rec_params=rec_params,
+            return_ponder=return_ponder,
         )
+        if return_ponder:
+            out, ponder = out
+            return out[0, :, :], ponder
         return out[0, :, :]  # self column
     raise ValueError(f"unknown attention axis {axis!r}")
 

@@ -80,6 +80,8 @@ class SupTrainer:
         on_dev = cfg.train.on_device_sampling
         num_classes = ds.num_classes
         smoothing = cfg.model.label_smoothing
+        act_w = (cfg.model.act_loss_weight
+                 if cfg.model.recurrence == "act" else 0.0)
         K = cfg.data.num_neighbors
         total_nodes = ds.num_nodes
         model = self.model
@@ -95,9 +97,12 @@ class SupTrainer:
                 batch = dataclasses.replace(batch, neigh=neigh)
 
             def loss_fn(p):
-                scores = model.apply(p, batch, rng=k_drop)
+                scores, ponder = model.apply(
+                    p, batch, rng=k_drop, return_ponder=True
+                )
                 targets = label_smoothing(batch.labels, num_classes, smoothing)
-                return soft_cross_entropy(scores, targets)
+                # t2t act_loss (only nonzero for recurrence == "act")
+                return soft_cross_entropy(scores, targets) + act_w * ponder
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -127,9 +132,11 @@ class SupTrainer:
                     b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop)
+                    scores, ponder = model.apply(
+                        pp, b, rng=k_drop, return_ponder=True
+                    )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
-                    return soft_cross_entropy(scores, targets)
+                    return soft_cross_entropy(scores, targets) + act_w * ponder
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 updates, s = opt.update(grads, s, p)
@@ -161,9 +168,11 @@ class SupTrainer:
                     b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop)
+                    scores, ponder = model.apply(
+                        pp, b, rng=k_drop, return_ponder=True
+                    )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
-                    return soft_cross_entropy(scores, targets)
+                    return soft_cross_entropy(scores, targets) + act_w * ponder
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 updates, s = opt.update(grads, s, p)

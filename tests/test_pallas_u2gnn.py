@@ -1,0 +1,114 @@
+"""Whole-encoder fused U2GNN kernel (ops/pallas_u2gnn.py) — fwd/bwd parity
+vs the pure-jnp reference, tied and untied weights, interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_transformer_tpu.ops.pallas_u2gnn import (
+    fused_u2gnn_encoder,
+    fused_u2gnn_encoder_reference,
+)
+
+S, D, F, T = 9, 4, 64, 4
+N = 40
+
+PARAM_NAMES = ["w_in", "b_in", "w_out", "b_out", "ln1g", "ln1b",
+               "w1", "b1", "w2", "b2", "ln2g", "ln2b"]
+
+
+def mk_params(stored, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def xa(*s):
+        return jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+
+    return (xa(stored, D, 3 * D), jnp.zeros((stored, 3 * D)),
+            xa(stored, D, D), jnp.zeros((stored, D)),
+            jnp.ones((stored, D)), jnp.zeros((stored, D)),
+            xa(stored, D, F), jnp.zeros((stored, F)),
+            xa(stored, F, D), jnp.zeros((stored, D)),
+            jnp.ones((stored, D)), jnp.zeros((stored, D)))
+
+
+@pytest.fixture(scope="module")
+def x3d():
+    rng = np.random.default_rng(1)
+    return jnp.asarray(rng.standard_normal((N, S, D)), jnp.float32)
+
+
+@pytest.mark.parametrize("stored", [T, 1])
+def test_forward_parity(x3d, stored):
+    params = mk_params(stored)
+    out = fused_u2gnn_encoder(x3d.reshape(N * S, D), params, None,
+                              S, T, 0.0, 128, True)
+    ref = fused_u2gnn_encoder_reference(x3d, params, T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("stored", [T, 1])
+def test_grad_parity(x3d, stored):
+    params = mk_params(stored)
+    x2d = x3d.reshape(N * S, D)
+    w = jnp.cos(jnp.arange(N * D, dtype=jnp.float32).reshape(N, D) * 0.01)
+
+    def loss_k(p, x):
+        return jnp.sum(fused_u2gnn_encoder(x, p, None, S, T, 0.0, 128, True) * w)
+
+    def loss_r(p, x):
+        return jnp.sum(
+            fused_u2gnn_encoder_reference(x.reshape(N, S, D), p, T) * w)
+
+    gk, gxk = jax.grad(loss_k, argnums=(0, 1))(params, x2d)
+    gr, gxr = jax.grad(loss_r, argnums=(0, 1))(params, x2d)
+    for a, b, nm in zip(gk, gr, PARAM_NAMES):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3, err_msg=nm)
+    np.testing.assert_allclose(np.asarray(gxk), np.asarray(gxr),
+                               atol=1e-4, rtol=1e-3, err_msg="dx")
+
+
+def test_matches_transformer_encoder_path(x3d):
+    """The mega-kernel equals the XLA transformer_encoder slot-0 path
+    (deterministic), i.e. what neighborhood_encoder dispatches between."""
+    from graph_transformer_tpu.ops.attention import (
+        TransformerEncoderParams,
+        neighborhood_encoder,
+    )
+
+    p = mk_params(T)
+    tep = TransformerEncoderParams(
+        w_in=p[0], b_in=p[1], w_out=p[2], b_out=p[3],
+        w_ff1=p[6], b_ff1=p[7], w_ff2=p[8], b_ff2=p[9],
+        ln1_scale=p[4], ln1_bias=p[5], ln2_scale=p[10], ln2_bias=p[11],
+    )
+    a = neighborhood_encoder(tep, x3d, num_timesteps=T, rng=None,
+                             use_pallas=False)
+    b = neighborhood_encoder(tep, x3d, num_timesteps=T, rng=None,
+                             use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "graph_transformer_tpu.ops.pallas_ffn", fromlist=["on_tpu"]
+    ).on_tpu(),
+    reason="in-kernel dropout needs the TPU PRNG (no interpret-mode impl)",
+)
+def test_dropout_mean_preserving():
+    """rate>0 path (interpret off-TPU runs only when rng is None — so run
+    the kernel directly with a seed): dropout keeps the output finite and
+    E[out] approx the deterministic output is NOT expected post-LN; just
+    sanity-check finiteness and that different seeds differ."""
+    rng = np.random.default_rng(3)
+    x2d = jnp.asarray(rng.standard_normal((N * S, D)), jnp.float32)
+    params = mk_params(T)
+    o1 = fused_u2gnn_encoder(x2d, params, jnp.asarray([7], jnp.int32),
+                             S, T, 0.5, 128, True)
+    o2 = fused_u2gnn_encoder(x2d, params, jnp.asarray([8], jnp.int32),
+                             S, T, 0.5, 128, True)
+    assert np.all(np.isfinite(np.asarray(o1)))
+    assert float(jnp.abs(o1 - o2).max()) > 1e-4

@@ -132,3 +132,50 @@ def test_sup_model_with_gru_recurrence(mutag):
     assert t.params.encoders[0].w_in.shape[0] == 1
     loss = t.train_epoch()
     assert np.isfinite(loss)
+
+
+def test_act_ponder_trains_in_sup_trainer():
+    """The ACT ponder cost is part of the training loss (t2t act_loss,
+    universal_transformer_modified.py:343): grads reach the halting unit
+    and training still converges."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_transformer_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from graph_transformer_tpu.data.tu import load_tu_dataset
+    from graph_transformer_tpu.ops.losses import (
+        label_smoothing, soft_cross_entropy,
+    )
+    from graph_transformer_tpu.train.sup_trainer import SupTrainer
+
+    ds = load_tu_dataset("MUTAG")
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, num_neighbors=4),
+        model=ModelConfig(num_timesteps=3, num_hidden_layers=1,
+                          ff_hidden_size=32, recurrence="act",
+                          act_loss_weight=0.01),
+        train=TrainConfig(num_epochs=1),
+    )
+    tr = SupTrainer(ds, cfg, train_idx=np.arange(32), test_idx=np.arange(8))
+    batch = tr.builder.sample()
+
+    # grads flow to the ACT halting unit
+    def loss(p):
+        scores, ponder = tr.model.apply(p, batch, rng=jax.random.key(0),
+                                        return_ponder=True)
+        targets = label_smoothing(batch.labels, ds.num_classes, 0.1)
+        return soft_cross_entropy(scores, targets) + 0.01 * ponder
+
+    g = jax.grad(loss)(tr.params)
+    assert float(jnp.abs(g.rec[0].w_halt).max()) > 0.0
+
+    # ponder is within (0, T]
+    _, ponder = tr.model.apply(tr.params, batch, rng=None, return_ponder=True)
+    assert 0.0 < float(ponder) <= 3.0 + 1e-6
+
+    # one epoch trains (loss finite, decreasing trend not required in 1 ep)
+    l0 = tr.train_epoch()
+    assert np.isfinite(l0)
