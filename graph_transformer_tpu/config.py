@@ -89,6 +89,13 @@ class ModelConfig:
     # Compute dtype for the encoder matmuls (params stay float32).
     compute_dtype: str = "float32"  # or "bfloat16"
     use_pallas: bool = False  # fused Pallas neighborhood-attention kernel
+    # Whole-encoder mega-kernel (ops/pallas_u2gnn.py: all T layers + slot-0
+    # in one fwd/bwd pallas_call).  Off by default: its forward beats the
+    # per-layer kernels (2.61 vs 3.06 ms at bench shapes) but its backward
+    # loses (VMEM-pressure spills at tile 504; slower at smaller tiles), so
+    # the per-layer kernels remain the fast path until the fused backward
+    # wins (see runs/mega_kernel_probe notes in BASELINE.md).
+    use_pallas_whole_encoder: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -94,6 +94,7 @@ class U2GNNSup:
         batch: GraphBatch,
         rng: Optional[jax.Array] = None,  # None => deterministic (eval)
         return_ponder: bool = False,
+        neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
     ) -> jax.Array:
         """Return prediction scores [B, C] (``(scores, ponder)`` when
         ``return_ponder`` — the summed ACT ponder cost over U2GNN layers,
@@ -102,8 +103,15 @@ class U2GNNSup:
         act_loss, ``universal_transformer_modified.py:343``)."""
         cfg = self.cfg
         B = batch.num_graphs
-        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
-        neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]
+        if neigh_feat is None:
+            x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
+            neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]
+        else:
+            # precomputed by the trainer's fast sampling path (globally
+            # indexed gather — single-U2GNN-layer models only: deeper
+            # stacks re-gather by the batch-local ids in batch.neigh)
+            assert len(params.encoders) == 1
+            neigh_feat = neigh_feat.astype(jnp.dtype(cfg.compute_dtype))
         scores = 0.0
         ponder = jnp.zeros(())
         for i, enc in enumerate(params.encoders):
@@ -123,6 +131,7 @@ class U2GNNSup:
                 num_timesteps=cfg.num_timesteps,
                 node_mask=batch.node_mask,
                 use_pallas=cfg.use_pallas,
+                whole_encoder=cfg.use_pallas_whole_encoder,
                 recurrence=cfg.recurrence,
                 rec_params=params.rec[i] if params.rec else None,
                 return_ponder=return_ponder,
@@ -131,7 +140,8 @@ class U2GNNSup:
                 out, p_i = out
                 ponder = ponder + p_i
             # re-gather updated self vectors as next layer's neighborhoods
-            neigh_feat = out[batch.neigh]
+            if i + 1 < len(params.encoders):
+                neigh_feat = out[batch.neigh]
             pooled = graph_sum_pool(
                 out.astype(jnp.float32) * batch.node_mask[:, None], batch.graph_id, B
             )

@@ -368,6 +368,7 @@ def neighborhood_encoder(
     recurrence: str = "basic",
     rec_params=None,
     return_ponder: bool = False,
+    whole_encoder: bool = False,
 ) -> jax.Array:
     """Encode sampled neighborhoods; return updated *self* vectors [N_pad, D]
     (``(out, ponder_cost)`` when ``return_ponder`` — 0.0 unless ACT).
@@ -391,6 +392,7 @@ def neighborhood_encoder(
         # deterministic path.
         fused_ok = (
             use_pallas
+            and whole_encoder
             and num_heads == 1
             and recurrence == "basic"
             and (_on_tpu() or rng is None or dropout_rate <= 0.0)

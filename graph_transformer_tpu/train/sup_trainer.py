@@ -29,6 +29,10 @@ from graph_transformer_tpu.data.tu import GraphDataset
 from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
 from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.sampling.pallas_sampler import (
+    build_neighbor_table,
+    resample_batch_neighbors_fast,
+)
 from graph_transformer_tpu.train.optim import (
     PlateauStepLR,
     make_optimizer,
@@ -65,6 +69,24 @@ class SupTrainer:
         self.opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
         self.opt_state = self.opt.init(self.params)
         self.csr = DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
+        # Fast sampling path: one Pallas PRNG+lane-gather pass instead of
+        # XLA's ~1.3 ms of narrow gathers (sampling/pallas_sampler.py).
+        # Applicable when every degree fits the 128-lane gather width and
+        # the model has a single U2GNN layer (deeper stacks re-gather by
+        # batch-local ids, which the global fast path does not produce).
+        self.nbr_table = None
+        if (
+            cfg.train.on_device_sampling
+            and cfg.model.num_hidden_layers == 1
+            and jax.default_backend() == "tpu"
+        ):
+            tb = build_neighbor_table(ds)
+            if tb is not None:
+                self.nbr_table = jnp.asarray(tb)
+                self._deg_dev = jnp.asarray(ds.degrees, jnp.int32)
+                self._x_global = jnp.asarray(
+                    ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
+                )
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -78,6 +100,10 @@ class SupTrainer:
         )
 
         on_dev = cfg.train.on_device_sampling
+        fast = self.nbr_table is not None
+        nbr_table = self.nbr_table
+        deg_dev = getattr(self, "_deg_dev", None)
+        x_global = getattr(self, "_x_global", None)
         num_classes = ds.num_classes
         smoothing = cfg.model.label_smoothing
         act_w = (cfg.model.act_loss_weight
@@ -87,18 +113,42 @@ class SupTrainer:
         model = self.model
         opt = self.opt
 
+
+        def _fast_rows(b):
+            return nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None]
+
+        def _resample(b, k_samp, csr, fr=None):
+            """Fresh neighborhoods for one step: returns
+            ``(batch, neigh_feat-or-None)`` — the fast path samples *global*
+            ids in one Pallas pass and gathers features from the global
+            table (no batch-local remap); the CSR path updates
+            ``batch.neigh`` as before."""
+            if not on_dev:
+                return b, None
+            if fast:
+                rows, degb = _fast_rows(b) if fr is None else fr
+                seed = jax.random.randint(
+                    k_samp, (1,), 0, 2**31 - 1, jnp.int32
+                )
+                neigh_g = resample_batch_neighbors_fast(
+                    seed, rows, degb, b.node_gidx, K
+                )
+                return b, x_global[neigh_g]
+            neigh = resample_batch_neighbors(
+                k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+            )
+            return dataclasses.replace(b, neigh=neigh), None
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def _train_step(params, opt_state, batch: GraphBatch, key, csr):
+
+
             k_samp, k_drop = jax.random.split(key)
-            if on_dev:
-                neigh = resample_batch_neighbors(
-                    k_samp, csr, batch.node_gidx, batch.node_mask, K, total_nodes
-                )
-                batch = dataclasses.replace(batch, neigh=neigh)
+            batch, nf = _resample(batch, k_samp, csr)
 
             def loss_fn(p):
                 scores, ponder = model.apply(
-                    p, batch, rng=k_drop, return_ponder=True
+                    p, batch, rng=k_drop, return_ponder=True, neigh_feat=nf
                 )
                 targets = label_smoothing(batch.labels, num_classes, smoothing)
                 # t2t act_loss (only nonzero for recurrence == "act")
@@ -120,20 +170,19 @@ class SupTrainer:
             actually sees in production and what the bench measures.
             Neighborhoods resample on device every step."""
 
+
+            # batch is fixed across the scan: its table rows gather ONCE
+            fr = _fast_rows(batch) if (on_dev and fast) else None
+
             def body(carry, i):
                 p, s = carry
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                b = batch
-                if on_dev:
-                    neigh = resample_batch_neighbors(
-                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
-                    )
-                    b = dataclasses.replace(b, neigh=neigh)
+                b, nf = _resample(batch, k_samp, csr, fr)
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
-                        pp, b, rng=k_drop, return_ponder=True
+                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder
@@ -161,15 +210,11 @@ class SupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                if on_dev:
-                    neigh = resample_batch_neighbors(
-                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
-                    )
-                    b = dataclasses.replace(b, neigh=neigh)
+                b, nf = _resample(b, k_samp, csr)
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
-                        pp, b, rng=k_drop, return_ponder=True
+                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder

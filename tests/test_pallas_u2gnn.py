@@ -87,7 +87,7 @@ def test_matches_transformer_encoder_path(x3d):
     a = neighborhood_encoder(tep, x3d, num_timesteps=T, rng=None,
                              use_pallas=False)
     b = neighborhood_encoder(tep, x3d, num_timesteps=T, rng=None,
-                             use_pallas=True)
+                             use_pallas=True, whole_encoder=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-5)
 
