@@ -41,6 +41,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--num_neighbors", default=4, type=int)
     p.add_argument("--fold_idx", default=0, type=int, help="0-9")
     p.add_argument("--degree_as_tag", action="store_true")
+    p.add_argument("--use_node_attributes", action="store_true",
+                   help="use <dataset>_node_attributes.txt sidecar features")
     # --- new capabilities
     p.add_argument("--data_dir", default=None, help="TU dataset root")
     p.add_argument("--seed", default=123, type=int)
@@ -78,6 +80,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             dataset=args.dataset,
             data_dir=args.data_dir,
             degree_as_tag=args.degree_as_tag or None,
+            use_node_attributes=getattr(args, "use_node_attributes", False),
             fold_idx=args.fold_idx,
             batch_size=args.batch_size,
             num_neighbors=args.num_neighbors,

@@ -42,7 +42,9 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
-    ds = load_tu_dataset(cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir)
+    ds = load_tu_dataset(cfg.data.dataset, cfg.data.degree_as_tag,
+                         cfg.data.data_dir,
+                         use_node_attributes=cfg.data.use_node_attributes)
     if args.cv_on_device:
         from graph_transformer_tpu.train.cv_ondevice import run_cv_on_device
 

@@ -43,7 +43,8 @@ def main(argv=None):
     acc_path = os.path.join(out_dir, "model_acc.txt")
 
     ds = load_tu_dataset(
-        cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir
+        cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir,
+        use_node_attributes=cfg.data.use_node_attributes,
     )
     print(f"# data: {ds.num_graphs} graphs, {ds.num_nodes} nodes (vocab), "
           f"{ds.num_classes} classes")

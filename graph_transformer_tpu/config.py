@@ -25,6 +25,11 @@ class DataConfig:
     data_dir: Optional[str] = None  # default: $GT_TPU_DATA or /root/reference/dataset
     # None = auto (forced on for COLLAB/IMDB* as in the reference)
     degree_as_tag: Optional[bool] = None
+    # Continuous per-node attributes from <dataset>_node_attributes.txt
+    # (replaces one-hot tags when the sidecar exists; the reference's dead
+    # attribute branch done right — util.py:97-98).  Lifts ENZYMES-class
+    # datasets where attributes carry the signal.
+    use_node_attributes: bool = False
     fold_idx: int = 0
     batch_size: int = 4
     num_neighbors: int = 8  # fanout K; neighborhood length is K+1 (self at slot 0)

@@ -125,8 +125,18 @@ def load_tu_dataset(
     dataset: str,
     degree_as_tag: Optional[bool] = None,
     data_dir: Optional[str] = None,
+    use_node_attributes: bool = False,
 ) -> GraphDataset:
-    """Load a TU dataset from its text file into a :class:`GraphDataset`."""
+    """Load a TU dataset from its text file into a :class:`GraphDataset`.
+
+    ``use_node_attributes``: load continuous per-node attributes from a
+    ``<dataset>_node_attributes.txt`` sidecar (one whitespace/comma-separated
+    line per node, dataset-global order) and use them AS the node features —
+    the behavior the reference's dead attribute branch intended
+    (``util.py:97-98,116-130``: when per-node attrs exist they replace the
+    one-hot tag features).  ENZYMES/PROTEINS/NCI are tag-only in this
+    checkout (the sidecar is not shipped), so this is off by default and a
+    no-op-with-warning when the sidecar is absent."""
     path = _resolve_path(dataset, data_dir)
     if degree_as_tag is None:
         degree_as_tag = dataset in DEGREE_AS_TAG_DATASETS
@@ -206,6 +216,31 @@ def load_tu_dataset(
     tag_index = np.searchsorted(tagset, tags)
     node_feat = np.zeros((num_nodes, len(tagset)), dtype=np.float32)
     node_feat[np.arange(num_nodes), tag_index] = 1.0
+
+    if use_node_attributes:
+        attr_path = os.path.join(
+            os.path.dirname(path), dataset + "_node_attributes.txt"
+        )
+        if os.path.exists(attr_path):
+            with open(attr_path) as f:
+                rows = [
+                    [float(v) for v in line.replace(",", " ").split()]
+                    for line in f
+                    if line.strip()
+                ]
+            attrs = np.asarray(rows, dtype=np.float32)
+            if attrs.shape[0] != num_nodes:
+                raise ValueError(
+                    f"{attr_path}: {attrs.shape[0]} rows != {num_nodes} nodes"
+                )
+            node_feat = attrs
+        else:
+            import warnings
+
+            warnings.warn(
+                f"use_node_attributes: no sidecar at {attr_path}; "
+                "falling back to one-hot tag features"
+            )
 
     if "REDDIT" in dataset:
         # constant low-magnitude 4-dim features

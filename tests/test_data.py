@@ -124,3 +124,43 @@ def test_synthetic_powerlaw():
     src, dst = ds.edge_arrays()
     g = ds.graph_of_node
     assert np.all(g[src] == g[dst])
+
+
+def test_node_attributes_sidecar(tmp_path):
+    """use_node_attributes loads a <DS>_node_attributes.txt sidecar and uses
+    it AS the node features (the reference's dead attribute branch done
+    right, util.py:97-98,116-130); absent sidecar warns and falls back."""
+    import shutil
+    import warnings
+
+    import numpy as np
+
+    from graph_transformer_tpu.data.tu import load_tu_dataset
+
+    src = "/root/reference/dataset/MUTAG/MUTAG.txt"
+    d = tmp_path / "MUTAG"
+    d.mkdir()
+    shutil.copy(src, d / "MUTAG.txt")
+
+    base = load_tu_dataset("MUTAG", data_dir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    attrs = rng.standard_normal((base.num_nodes, 3)).astype(np.float32)
+    with open(d / "MUTAG_node_attributes.txt", "w") as f:
+        for row in attrs:
+            f.write(", ".join(f"{v:.6f}" for v in row) + "\n")
+
+    ds = load_tu_dataset("MUTAG", data_dir=str(tmp_path),
+                         use_node_attributes=True)
+    assert ds.feature_dim == 3
+    np.testing.assert_allclose(ds.node_feat, attrs, atol=1e-5)
+    # graph structure unchanged
+    np.testing.assert_array_equal(ds.nbr_offsets, base.nbr_offsets)
+
+    # absent sidecar: warn + one-hot fallback
+    (d / "MUTAG_node_attributes.txt").unlink()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds2 = load_tu_dataset("MUTAG", data_dir=str(tmp_path),
+                              use_node_attributes=True)
+    assert any("sidecar" in str(x.message) for x in w)
+    assert ds2.feature_dim == base.feature_dim
