@@ -34,7 +34,38 @@ import numpy as np
 STEPS = 50
 
 
-def build_problem(n_total, K, D, ff, n_shards, seed=0):
+def make_neigh(n_total, K, graph, seed=0):
+    """Neighborhood matrix for the halo plan: 'random' is the worst case
+    (every neighborhood crosses shards); 'powerlaw' samples a real
+    REDDIT-like dataset's CSR, whose graph-contiguous node order gives
+    contiguous shards locality (the realistic regime for edge-partitioned
+    batches)."""
+    rng = np.random.default_rng(seed)
+    if graph == "random":
+        neigh = rng.integers(0, n_total, size=(n_total, K + 1)).astype(
+            np.int32)
+        neigh[:, 0] = np.arange(n_total)
+        return neigh
+    from graph_transformer_tpu.data.tu import synthetic_powerlaw_dataset
+
+    ds = synthetic_powerlaw_dataset(
+        num_graphs=max(2, n_total // 500), mean_nodes=500, seed=seed
+    )
+    n = min(n_total, ds.num_nodes)
+    deg = ds.degrees[:n]
+    off = ds.nbr_offsets[:n]
+    r = rng.integers(0, np.maximum(deg, 1)[:, None],
+                     size=(n, K)).astype(np.int64)
+    nbr = ds.nbr_ids[(off[:, None] + r)]
+    nbr = np.where(deg[:, None] > 0, nbr, np.arange(n)[:, None])
+    nbr = np.minimum(nbr, n - 1)
+    neigh = np.concatenate(
+        [np.arange(n, dtype=np.int64)[:, None], nbr], axis=1
+    ).astype(np.int32)
+    return neigh
+
+
+def build_problem(n_total, K, D, ff, n_shards, seed=0, graph="random"):
     import jax
     import optax
 
@@ -47,8 +78,9 @@ def build_problem(n_total, K, D, ff, n_shards, seed=0):
     from graph_transformer_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(seed)
-    neigh = rng.integers(0, n_total, size=(n_total, K + 1)).astype(np.int32)
-    neigh[:, 0] = np.arange(n_total)
+    neigh = make_neigh(n_total, K, graph, seed)
+    n_total = neigh.shape[0] - (neigh.shape[0] % n_shards) or neigh.shape[0]
+    neigh = np.minimum(neigh[:n_total], n_total - 1)
     plan = build_halo_plan(neigh, n_shards)
     x = rng.standard_normal((n_total, D)).astype(np.float32)
     devices = jax.devices()[:n_shards]
@@ -86,6 +118,8 @@ def main():
     ap.add_argument("--K", type=int, default=8)
     ap.add_argument("--D", type=int, default=64)
     ap.add_argument("--ff", type=int, default=256)
+    ap.add_argument("--graph", choices=["random", "powerlaw"],
+                    default="random")
     ap.add_argument("--out", default="runs/halo_anchor.json")
     args = ap.parse_args()
 
@@ -99,7 +133,7 @@ def main():
                                        D=args.D, ff=args.ff))
     if args.mode == "chip":
         step, p, s, x, plan, model = build_problem(
-            args.n_total, args.K, args.D, args.ff, 1
+            args.n_total, args.K, args.D, args.ff, 1, graph=args.graph
         )
         t = timed_steps(step, p, s, x, plan)
         results["chip_s1"] = {
@@ -115,7 +149,7 @@ def main():
         rows = []
         for S in (1, 2, 4, 8):
             step, p, s, x, plan, model = build_problem(
-                args.n_total, args.K, args.D, args.ff, S
+                args.n_total, args.K, args.D, args.ff, S, graph=args.graph
             )
             t = timed_steps(step, p, s, x, plan, steps=10)
             rows.append({
@@ -128,7 +162,8 @@ def main():
                     model["predicted_efficiency"],
             })
             print(json.dumps(rows[-1]))
-        results["virtual_mesh"] = rows
+        results["virtual_mesh" if args.graph == "random"
+                else "virtual_mesh_powerlaw"] = rows
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -157,16 +157,44 @@ def main():
                 if r else "")
         A(f"| {name} | {cfgs} | {ours} | {PAPER_UNSUP.get(name, '—')} |")
     A("")
-    hpo_unsup = _jsonl(
-        os.path.join(REPO, "runs/hpo/hpo_real_unsup_PTC.jsonl")
-    )
-    hu = next((r for r in hpo_unsup if r.get("summary")), None)
-    if hu:
-        A(f"- GP-HPO over the unsup space (the reference's exact Ax claim "
-          f"surface, README.md:43-47) on {hu['dataset']}: README config "
-          f"{hu['readme_acc']:.4f} → best arm **{hu['best_acc']:.4f}** "
-          f"({hu['gain']*100:+.1f} pts), params {hu['best_params']}.")
+    import glob as _glob
+
+    for path in sorted(_glob.glob(
+        os.path.join(REPO, "runs/hpo/hpo_real_unsup_*.jsonl")
+    )):
+        hu = next((r for r in _jsonl(path) if r.get("summary")), None)
+        if hu:
+            A(f"- GP-HPO over the unsup space (the reference's exact Ax claim "
+              f"surface, README.md:43-47) on {hu['dataset']}: README config "
+              f"{hu['readme_acc']:.4f} → best arm **{hu['best_acc']:.4f}** "
+              f"({hu['gain']*100:+.1f} pts), params {hu['best_params']}.")
+            A("")
+
+    bl = _json(os.path.join(REPO, "runs/baselines_r3.json"))
+    if bl:
+        A("### Baseline models vs U2GNN (round 3)")
         A("")
+        A("- Unsupervised **GCN** graph classification (the reference's TF "
+          "baseline protocol, `gcn_baseline/train_unsup_gcn.py:173-203`: "
+          "concat GCN layer outputs → sampled softmax → pooled-embedding "
+          "10-fold logistic probe, best epoch):")
+        A("")
+        A("| Dataset | GCN baseline | U2GNN unsup (above) |")
+        A("|---|---|---|")
+        for name, r in bl.get("gcn_unsup", {}).items():
+            u = unsup.get(name)
+            uv = f"{u['mean']:.4f} ± {u['std']:.4f}" if u else "—"
+            A(f"| {name} | {r['best_mean']:.4f} ± {r['best_std']:.4f} | "
+              f"**{uv}** |")
+        A("")
+        if bl.get("node"):
+            A("- Node-classification pipelines (transductive, mask logistic "
+              "probe — `node_train_utils.py` protocol): "
+              + "; ".join(
+                  f"{k.replace('_', ' ')} {v['best_metric']:.4f}"
+                  for k, v in bl["node"].items()
+              ) + ".")
+            A("")
 
     ngs = _json(os.path.join(REPO, "runs/multiplex_ngs.json"))
     if ngs:
@@ -199,7 +227,27 @@ def main():
         A("  (`scripts/run_multiplex_ngs.py`).")
         A("")
 
-    if pallas:
+    pallas_r3 = _json(os.path.join(REPO, "runs/pallas_parity_r3.json"))
+    if pallas_r3:
+        A("## Pallas-path accuracy (full 10-fold on the fused kernels, "
+          "round 3)")
+        A("")
+        A("The round-3 kernels fold-vmap, so the fold-parallel runner "
+          "measures the exact benchmark configuration (use_pallas + "
+          "bfloat16) with full 10-fold CV per dataset:")
+        A("")
+        A("| Dataset | Pallas bf16 | XLA f32 (matrix above) | gap |")
+        A("|---|---|---|---|")
+        for name, r in pallas_r3.items():
+            xr = r.get("xla_f32")
+            xs = f"{xr['mean']:.4f} ± {xr['std']:.4f}" if xr else "—"
+            gap = r.get("abs_gap")
+            A(f"| {name} | {r['pallas_bf16']['mean']:.4f} ± "
+              f"{r['pallas_bf16']['std']:.4f} | {xs} | "
+              f"{gap:.4f} ({'within' if r['within_fold_noise'] else 'OUTSIDE'}"
+              " fold noise) |")
+        A("")
+    elif pallas:
         A("## Pallas-path accuracy parity (MUTAG 10-fold, 50 epochs)")
         A("")
         A(f"- XLA path: {pallas['xla']['mean']:.4f} ± "
@@ -253,6 +301,26 @@ def main():
     A("- A real 2-process `jax.distributed` CPU cluster trains the GSPMD")
     A("  step to the single-process losses (`tests/test_multiprocess.py`);")
     A("  launcher: `scripts/bench_scaling.py --multiprocess N`.")
+    halo = _json(os.path.join(REPO, "runs/halo_anchor.json"))
+    if halo and "chip_s1" in halo:
+        c = halo["chip_s1"]
+        A("- `halo_cost_model` anchors (`scripts/bench_halo.py`, "
+          "runs/halo_anchor.json): real-chip S=1 regime-2 step "
+          f"{c['ms_per_step']:.2f} ms vs the model's peak-FLOPs compute term "
+          f"{c['model_t_compute_ms']:.3f} ms → achieved peak fraction "
+          f"{c['achieved_peak_fraction']:.3f} (calibrates t_compute for pod "
+          "predictions).")
+    if halo and "virtual_mesh" in halo:
+        A("- Virtual-mesh S∈{1,2,4,8} (worst-case random-neighbor graph): "
+          "collective bytes "
+          + " / ".join(str(r["collective_bytes_per_step"])
+                        for r in halo["virtual_mesh"])
+          + " per step; CPU step times flat across S (total work fixed on "
+            "the 2-core host), matching the model's work accounting. "
+            "Predicted v5e efficiency on this worst-case partition: "
+          + ", ".join(f"S={r['shards']}: "
+                      f"{r['predicted_efficiency_v5e']:.2f}"
+                      for r in halo["virtual_mesh"]) + ".")
     A("- Hardware-independent efficiency prediction: ")
     A("  `parallel.halo_cost_model` (collective bytes vs local FLOPs); the")
     A("  2-core host's virtual-mesh efficiency column remains")
