@@ -43,6 +43,12 @@ UNSUP_CONFIGS = {
 }
 
 
+def _dump(out, path="runs/baselines_r3.json"):
+    os.makedirs("runs", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+
+
 def gcn_unsup_rows(out):
     for name, c in UNSUP_CONFIGS.items():
         ds = load_tu_dataset(name)
@@ -67,6 +73,7 @@ def gcn_unsup_rows(out):
         }
         print(f"gcn_unsup {name}: {r['best_mean']:.4f}±{r['best_std']:.4f}",
               flush=True)
+        _dump(out)
 
 
 def node_rows(out):
@@ -94,15 +101,14 @@ def node_rows(out):
             }
             print(f"node {ds_name} {model}: {r['best_metric']:.4f}",
                   flush=True)
+            _dump(out)
 
 
 def main():
     out = {"gcn_unsup": {}, "node": {}}
     gcn_unsup_rows(out)
     node_rows(out)
-    os.makedirs("runs", exist_ok=True)
-    with open("runs/baselines_r3.json", "w") as f:
-        json.dump(out, f, indent=2)
+    _dump(out)
     print("wrote runs/baselines_r3.json")
 
 
