@@ -71,7 +71,7 @@ def main():
     hpo_real = _jsonl(os.path.join(REPO, "runs/hpo/hpo_real_mutag.jsonl"))
     hpo_summary = next((r for r in hpo_real if r.get("summary")), None)
     sweeps = {}
-    for grid in ("PTC_r2", "MUTAG_r2", "PROTEINS_r2"):
+    for grid in ("PTC_r2", "PTC_r3", "MUTAG_r2", "PROTEINS_r2"):
         rows = _jsonl(os.path.join(REPO, f"runs/sweep_vmap_r2/{grid}.jsonl"))
         sweeps[grid] = list({r["name"]: r for r in rows}.values())
 
@@ -122,12 +122,22 @@ def main():
         if not rows:
             continue
         ds = grid.split("_")[0]
-        A(f"### {ds} round-2 sweep ({grid}, full 10-fold per config)")
+        rnd = grid.split("_")[1] if "_" in grid else ""
+        A(f"### {ds} {rnd} sweep ({grid}, full 10-fold per config)")
         A("")
         A("| Config | 10-fold accuracy |")
         A("|---|---|")
         for r in sorted(rows, key=lambda r: -r["mean"]):
             A(f"| {r['name']} | {r['mean']:.4f} ± {r['std']:.4f} |")
+        A("")
+
+    if sweeps.get("PTC_r3"):
+        A("PTC supervised conclusion (rounds 2-3, 28 configs over the "
+          "paper's stated search space + LR/dropout/schedule/batch axes): "
+          "best full-10-fold **0.6600 ± 0.0512** (K16_T1_deg) vs the paper "
+          "anchor 0.6963 ± 0.0360 — overlapping error bars (the gap is "
+          "~0.7 fold-σ); the paper's per-dataset tuned config is "
+          "unpublished, so the remaining delta is not attributable.")
         A("")
 
     if hpo_summary:
