@@ -55,6 +55,15 @@ from graph_transformer_tpu.ops.pallas_ffn import (
 )
 
 
+# Banded [R, BW] softmax/dropout layout (scripts/bench_banded.py A/B).
+# MEASURED SLOWER on v5e at bench shapes (T=4 fwd 3.51 vs 3.09 ms, fwd+bwd
+# 10.28 vs 9.28): the band extract/expand selection matmuls + the extra
+# [R, R] mask passes cost more than the dense form's softmax+PRNG they
+# replace, in both f32 and compute-dtype variants.  Kept off as a recorded
+# dead end (BASELINE.md round-3 notes) so later rounds don't re-walk it.
+BANDED = False
+
+
 def tile_rows(seq_len: int, target: int = 512) -> int:
     """Smallest multiple of lcm(8, S) ≥ ~target rows (sublane alignment and
     whole neighborhoods per tile)."""
@@ -67,6 +76,27 @@ def _block_mask(R: int, S: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // S
     col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // S
     return row == col
+
+
+def _band_width(S: int) -> int:
+    return ((S + 7) // 8) * 8
+
+
+def _band_select(R: int, S: int, BW: int):
+    """[R, BW] 0/1 f32 selection matrix: sel[c, j] = 1 iff c % S == j.
+
+    Used on the MXU in both directions of the banded-attention layout:
+    ``band = (scores ⊙ bmask) @ sel`` extracts each row's own-neighborhood
+    scores into column j = c % S (off-block entries contribute exact zeros),
+    and ``dense = (band @ selᵀ) ⊙ bmask`` scatters them back.  Softmax and
+    attention-dropout then run on [R, BW] (BW = S rounded up to a sublane
+    multiple, ≤ 32) instead of the 57×-sparse [R, R] block-diagonal form —
+    the round-3 profile showed those VPU passes (exp/max/sum + PRNG mask
+    regeneration, 4 vregs per 8 rows at R=504) dominating the attention
+    block's cost at D=4."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 0) % S
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 1)
+    return (c == j).astype(jnp.float32)
 
 
 def _dotT_lhs(a, b):  # aᵀ @ b (contract dim0/dim0)
@@ -109,10 +139,30 @@ def _forward_tile(x, w_in, b_in, w_out, b_out, ln1g, ln1b,
                   preferred_element_type=jnp.float32) + b_in
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     scores = _dotT_rhs(q.astype(mm), k.astype(mm)) / math.sqrt(D)
-    scores = jnp.where(_block_mask(R, S), scores, -1e30)
-    attn = jax.nn.softmax(scores, axis=-1)
-    m_attn = _dropout_mask(attn.shape, rate) if rate > 0.0 else None
-    attn_d = attn * m_attn / keep if rate > 0.0 else attn
+    banded = BANDED and S <= 32
+    if banded:
+        # Banded layout: softmax + dropout on [R, BW], dense only for the
+        # MXU matmuls (see _band_select).  Same set of score entries as the
+        # dense form (selection matmuls run in the compute dtype, so the
+        # bf16 path rounds scores/attn once more than the dense form).
+        BW = _band_width(S)
+        bmaskf = _block_mask(R, S).astype(mm)
+        sel = _band_select(R, S, BW).astype(mm)
+        band = jnp.dot(scores.astype(mm) * bmaskf, sel,
+                       preferred_element_type=jnp.float32)
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (R, BW), 1)
+        band = jnp.where(jcol < S, band, -1e30)
+        attn = jax.nn.softmax(band, axis=-1)           # [R, BW] f32
+        m_attn = _dropout_mask(attn.shape, rate) if rate > 0.0 else None
+        band_d = attn * m_attn / keep if rate > 0.0 else attn
+        attn_d = (_dotT_rhs(band_d.astype(mm), sel).astype(mm)
+                  * bmaskf)                            # [R, R] mm-typed
+    else:
+        bmaskf = sel = None
+        scores = jnp.where(_block_mask(R, S), scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        m_attn = _dropout_mask(attn.shape, rate) if rate > 0.0 else None
+        attn_d = attn * m_attn / keep if rate > 0.0 else attn
     ctx = jnp.dot(attn_d.astype(mm), v.astype(mm),
                   preferred_element_type=jnp.float32)
     a = jnp.dot(ctx.astype(mm), w_out.astype(mm),
@@ -138,6 +188,7 @@ def _forward_tile(x, w_in, b_in, w_out, b_out, ln1g, ln1b,
         return out
     return out, dict(q=q, k=k, v=v, attn=attn, attn_d=attn_d, ctx=ctx,
                      m_attn=m_attn, m_a=m_a, m_h=m_h, m_z=m_z,
+                     bmaskf=bmaskf, sel=sel,
                      uhat1=uhat1, rstd1=rstd1, y1=y1, hpre=hpre, h=h,
                      uhat2=uhat2, rstd2=rstd2)
 
@@ -212,11 +263,23 @@ def _bwd_kernel(seed_ref, x_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref,
     dctx = _dotT_rhs(da.astype(mm), w_out.astype(mm))
     dattn_d = _dotT_rhs(dctx.astype(mm), r["v"].astype(mm))  # [R, R]
     dv = _dotT_lhs(r["attn_d"].astype(mm), dctx.astype(mm))  # [R, D]
-    dattn = dattn_d * r["m_attn"] / keep if rate > 0.0 else dattn_d
-    # softmax backward (rows); off-block entries have attn == 0 → no grad
-    ds = r["attn"] * (dattn - jnp.sum(dattn * r["attn"], axis=-1,
-                                      keepdims=True))
-    ds = ds / math.sqrt(D)
+    if r["sel"] is not None:
+        # Banded: pull the dense grad into the [R, BW] band, run
+        # dropout/softmax backward there, scatter the result back.
+        dband_d = jnp.dot(dattn_d.astype(mm) * r["bmaskf"], r["sel"],
+                          preferred_element_type=jnp.float32)
+        dband = dband_d * r["m_attn"] / keep if rate > 0.0 else dband_d
+        ds_band = r["attn"] * (dband - jnp.sum(dband * r["attn"], axis=-1,
+                                               keepdims=True))
+        ds_band = ds_band / math.sqrt(D)
+        ds = (_dotT_rhs(ds_band.astype(mm), r["sel"]).astype(mm)
+              * r["bmaskf"])
+    else:
+        dattn = dattn_d * r["m_attn"] / keep if rate > 0.0 else dattn_d
+        # softmax backward (rows); off-block entries have attn == 0 → no grad
+        ds = r["attn"] * (dattn - jnp.sum(dattn * r["attn"], axis=-1,
+                                          keepdims=True))
+        ds = ds / math.sqrt(D)
     dq = jnp.dot(ds.astype(mm), r["k"].astype(mm),
                  preferred_element_type=jnp.float32)
     dk = _dotT_lhs(ds.astype(mm), r["q"].astype(mm))

@@ -37,14 +37,22 @@ def test_tile_rows_alignment():
         assert R % 8 == 0 and R % S == 0 and R >= 256
 
 
+@pytest.mark.parametrize("banded", [False, True])
 @pytest.mark.parametrize("S,D,F,B", [(9, 4, 32, 57), (5, 8, 16, 13)])
-def test_fused_forward_matches_xla(S, D, F, B):
+def test_fused_forward_matches_xla(S, D, F, B, banded):
+    from graph_transformer_tpu.ops import pallas_encoder
+
     p = _params(jax.random.key(0), D, F)
     x = jax.random.normal(jax.random.key(1), (B, S, D), jnp.float32)
     ref = _encoder_layer(x, p, num_heads=1, dropout_rate=0.0, rng=None)
-    got2d = fused_encoder_layer(
-        x.reshape(B * S, D), *_args(p), None, S, 0.0, 128, True
-    )
+    old = pallas_encoder.BANDED
+    try:
+        pallas_encoder.BANDED = banded
+        got2d = fused_encoder_layer(
+            x.reshape(B * S, D), *_args(p), None, S, 0.0, 128, True
+        )
+    finally:
+        pallas_encoder.BANDED = old
     got = got2d.reshape(B, S, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -52,6 +60,36 @@ def test_fused_forward_matches_xla(S, D, F, B):
     tw = fused_encoder_layer_reference(x, p)
     np.testing.assert_allclose(np.asarray(tw), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_backward_matches_xla_banded():
+    from graph_transformer_tpu.ops import pallas_encoder
+
+    S, D, F, B = 9, 4, 24, 23
+    p = _params(jax.random.key(0), D, F)
+    x = jax.random.normal(jax.random.key(1), (B, S, D), jnp.float32)
+
+    def loss_ref(pp):
+        return jnp.sum(_encoder_layer(x, pp, 1, 0.0, None) ** 2)
+
+    def loss_fused(pp):
+        out = fused_encoder_layer(
+            x.reshape(B * S, D), *_args(pp), None, S, 0.0, 128, True
+        )
+        return jnp.sum(out ** 2)
+
+    gr_p = jax.grad(loss_ref)(p)
+    old = pallas_encoder.BANDED
+    try:
+        pallas_encoder.BANDED = True
+        gf_p = jax.grad(loss_fused)(p)
+    finally:
+        pallas_encoder.BANDED = old
+    for k in gr_p:
+        np.testing.assert_allclose(
+            np.asarray(gf_p[k]), np.asarray(gr_p[k]),
+            rtol=2e-4, atol=2e-4, err_msg=k,
+        )
 
 
 def test_fused_backward_matches_xla():
