@@ -99,6 +99,7 @@ class GCNGraphUnsup:
         rng: Optional[jax.Array] = None,
         adj_mask=None,  # unused; trainer-interface compatibility
         csr=None,  # unused; trainer-interface compatibility
+        neigh_feat=None,  # unused; GCN aggregates over edges, not fanouts
     ) -> jax.Array:
         z = self.encode(params, batch, rng=rng)
         per_node = sampled_softmax_loss(

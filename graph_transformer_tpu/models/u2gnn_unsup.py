@@ -112,11 +112,21 @@ class U2GNNUnsup:
         batch: GraphBatch,
         rng: Optional[jax.Array] = None,
         regather: bool = True,
+        neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
     ) -> jax.Array:
-        """Per-node representation: [N_pad, k·D] (concat) or [N_pad, D]."""
+        """Per-node representation: [N_pad, k·D] (concat) or [N_pad, D].
+
+        ``neigh_feat``: first-layer neighborhood features already gathered
+        (the Pallas fast-sampling path supplies these from the *global*
+        feature table; see sampling/pallas_sampler.py).  Deeper layers with
+        ``regather=True`` still need batch-local ``batch.neigh``, so callers
+        only pass this for ``num_hidden_layers == 1`` stacks."""
         cfg = self.cfg
-        x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
-        neigh_feat = x[batch.neigh]
+        if neigh_feat is None:
+            x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
+            neigh_feat = x[batch.neigh]
+        else:
+            neigh_feat = neigh_feat.astype(jnp.dtype(cfg.compute_dtype))
         outs = []
         for enc in params.encoders:
             if rng is not None:
@@ -178,12 +188,13 @@ class U2GNNUnsup:
         rng: Optional[jax.Array] = None,
         adj_mask: Optional[jax.Array] = None,  # [N, N] for contrastive
         csr=None,  # DeviceCSR, required for sampler_type='neighbor'
+        neigh_feat: Optional[jax.Array] = None,  # fast-path gathered features
     ) -> jax.Array:
         """Scalar training loss (sum of per-node sampled-softmax logits, the
         reference's objective ``loss = torch.sum(logits)``,
         ``train_pytorch_U2GNN_UnSup.py:155-156``)."""
         cfg = self.cfg
-        z = self.encode(params, batch, rng=rng)
+        z = self.encode(params, batch, rng=rng, neigh_feat=neigh_feat)
         if cfg.loss_type == "default":
             if rng is not None:
                 rng, r_drop = jax.random.split(rng)

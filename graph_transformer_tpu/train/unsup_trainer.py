@@ -29,6 +29,10 @@ from graph_transformer_tpu.data.batching import BatchBuilder, GraphBatch
 from graph_transformer_tpu.data.tu import GraphDataset
 from graph_transformer_tpu.models.u2gnn_unsup import U2GNNUnsup
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.sampling.pallas_sampler import (
+    build_neighbor_table,
+    resample_batch_neighbors_fast,
+)
 from graph_transformer_tpu.train.evaluate import (
     pool_node_embeddings,
     tenfold_logistic_accuracy,
@@ -65,6 +69,25 @@ class UnsupTrainer:
             cfg.train.on_device_sampling or cfg.model.sampler_type == "neighbor"
         )
         self.csr = DeviceCSR.from_dataset(ds) if need_csr else None
+        # Fast sampling path (same gate as SupTrainer): one Pallas
+        # PRNG+lane-gather pass sampling *global* neighbor ids, features
+        # gathered from the global table — applicable at a single U2GNN
+        # layer (deeper stacks re-gather by batch-local ids) with every
+        # degree ≤ the 128-lane gather width.
+        self.nbr_table = None
+        if (
+            cfg.train.on_device_sampling
+            and cfg.model.num_hidden_layers == 1
+            and cfg.model.model != "gcn_unsup"
+            and jax.default_backend() == "tpu"
+        ):
+            tb = build_neighbor_table(ds)
+            if tb is not None:
+                self.nbr_table = jnp.asarray(tb)
+                self._deg_dev = jnp.asarray(ds.degrees, jnp.int32)
+                self._x_global = jnp.asarray(
+                    ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
+                )
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -81,18 +104,38 @@ class UnsupTrainer:
         on_dev = cfg.train.on_device_sampling
         K = cfg.data.num_neighbors
         total_nodes = ds.num_nodes
+        fast = self.nbr_table is not None
+        nbr_table = self.nbr_table
+        deg_dev = getattr(self, "_deg_dev", None)
+        x_global = getattr(self, "_x_global", None)
+
+        def _resample(b, k_samp, csr):
+            """(batch, neigh_feat-or-None) with fresh neighborhoods — the
+            fast path samples global ids in one Pallas pass and gathers
+            features from the global table (see SupTrainer._resample)."""
+            if not on_dev:
+                return b, None
+            if fast:
+                seed = jax.random.randint(k_samp, (1,), 0, 2**31 - 1, jnp.int32)
+                neigh_g = resample_batch_neighbors_fast(
+                    seed, nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None],
+                    b.node_gidx, K,
+                )
+                return b, x_global[neigh_g]
+            neigh = resample_batch_neighbors(
+                k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+            )
+            return dataclasses.replace(b, neigh=neigh), None
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _train_step(params, opt_state, batch: GraphBatch, key, csr):
             k_samp, k_cand, k_drop = jax.random.split(key, 3)
-            if on_dev:
-                neigh = resample_batch_neighbors(
-                    k_samp, csr, batch.node_gidx, batch.node_mask, K, total_nodes
-                )
-                batch = dataclasses.replace(batch, neigh=neigh)
+            batch, nf = _resample(batch, k_samp, csr)
 
             def loss_fn(p):
-                return model.loss(p, batch, k_cand, spec, rng=k_drop, csr=csr)
+                return model.loss(
+                    p, batch, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf
+                )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -110,14 +153,12 @@ class UnsupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_cand, k_drop = jax.random.split(step_key, 3)
-                if on_dev:
-                    neigh = resample_batch_neighbors(
-                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
-                    )
-                    b = dataclasses.replace(b, neigh=neigh)
+                b, nf = _resample(b, k_samp, csr)
 
                 def loss_fn(pp):
-                    return model.loss(pp, b, k_cand, spec, rng=k_drop, csr=csr)
+                    return model.loss(
+                        pp, b, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf
+                    )
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 updates, s = opt.update(grads, s, p)

@@ -63,3 +63,40 @@ def test_sampled_ids_are_neighbors():
         s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
         allowed = set(ds.nbr_ids[s:e].tolist()) if e > s else {v}
         assert set(out[v].tolist()) <= allowed
+
+
+def test_unsup_loss_neigh_feat_plumbing():
+    """U2GNNUnsup.loss(neigh_feat=...) ≡ the batch.neigh gather when handed
+    the same neighborhoods' features (the fast-sampler contract: features
+    pre-gathered from the global table replace the batch-local gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_transformer_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from graph_transformer_tpu.data.batching import BatchBuilder
+    from graph_transformer_tpu.models.u2gnn_unsup import U2GNNUnsup
+
+    ds = load_tu_dataset("MUTAG")
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=16, sampled_num=8),
+        train=TrainConfig(num_epochs=1),
+    )
+    builder = BatchBuilder(ds, batch_size=4, num_neighbors=4, seed=0)
+    batch = builder.sample()
+    model = U2GNNUnsup(ds.feature_dim, ds.num_nodes, cfg.model)
+    params = model.init(jax.random.key(0))
+    spec = model.spec()
+    key = jax.random.key(1)
+    # features of the already-sampled local neighborhoods, via the GLOBAL
+    # table (what resample_batch_neighbors_fast + x_global[neigh_g] yields)
+    neigh_g = np.asarray(batch.node_gidx)[np.asarray(batch.neigh)]
+    nf = jnp.asarray(ds.node_feat)[jnp.asarray(neigh_g)]
+    l_local = model.loss(params, batch, key, spec, rng=None)
+    l_fast = model.loss(params, batch, key, spec, rng=None, neigh_feat=nf)
+    np.testing.assert_allclose(
+        np.asarray(l_fast), np.asarray(l_local), rtol=1e-5
+    )
