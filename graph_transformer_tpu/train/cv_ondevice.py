@@ -43,6 +43,10 @@ from graph_transformer_tpu.data.tu import GraphDataset
 from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
 from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.sampling.pallas_sampler import (
+    build_neighbor_table,
+    resample_batch_neighbors_fast,
+)
 from graph_transformer_tpu.train.optim import make_optimizer
 
 _BIG = jnp.asarray(3.0e38, jnp.float32)  # plateau-history fill (never fires)
@@ -141,6 +145,26 @@ def run_cv_on_device(
     if csr is None:
         raise ValueError("run_cv_on_device requires on_device_sampling")
 
+    # Fast sampling path (same gate as SupTrainer): fold-vmappable Pallas
+    # PRNG+lane-gather sampling of global ids + global feature gather.
+    nbr_table = deg_dev = x_global = None
+    if cfg.model.num_hidden_layers == 1 and jax.default_backend() == "tpu":
+        tb = build_neighbor_table(ds)
+        if tb is not None:
+            nbr_table = jnp.asarray(tb)
+            deg_dev = jnp.asarray(ds.degrees, jnp.int32)
+            x_global = jnp.asarray(
+                ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
+            )
+            if mesh is not None:
+                rep = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+                nbr_table = jax.device_put(nbr_table, rep)
+                deg_dev = jax.device_put(deg_dev, rep)
+                x_global = jax.device_put(x_global, rep)
+    fast = nbr_table is not None
+
     model = U2GNNSup(ds.feature_dim, ds.num_classes, cfg.model)
     params0 = model.init(jax.random.key(cfg.train.seed))
     opt = make_optimizer(cfg.train.learning_rate, cfg.train.grad_clip_norm)
@@ -184,13 +208,24 @@ def run_cv_on_device(
                     k_sel, ids, (B,), replace=False, p=p_sel
                 )
                 b = assemble_batch(dd, gids, n_pad)
-                neigh = resample_batch_neighbors(
-                    k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
-                )
-                b = dataclasses.replace(b, neigh=neigh)
+                nf = None
+                if fast:
+                    seed = jax.random.randint(
+                        k_samp, (1,), 0, 2**31 - 1, jnp.int32
+                    )
+                    neigh_g = resample_batch_neighbors_fast(
+                        seed, nbr_table[b.node_gidx],
+                        deg_dev[b.node_gidx][:, None], b.node_gidx, K,
+                    )
+                    nf = x_global[neigh_g]
+                else:
+                    neigh = resample_batch_neighbors(
+                        k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
+                    )
+                    b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop)
+                    scores = model.apply(pp, b, rng=k_drop, neigh_feat=nf)
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets)
 

@@ -48,6 +48,10 @@ from graph_transformer_tpu.data.tu import GraphDataset
 from graph_transformer_tpu.models.u2gnn_sup import U2GNNSup
 from graph_transformer_tpu.ops.losses import label_smoothing, soft_cross_entropy
 from graph_transformer_tpu.sampling.neighbors import DeviceCSR, resample_batch_neighbors
+from graph_transformer_tpu.sampling.pallas_sampler import (
+    build_neighbor_table,
+    resample_batch_neighbors_fast,
+)
 from graph_transformer_tpu.train.optim import PlateauStepLR, make_optimizer
 
 
@@ -172,6 +176,32 @@ class TenfoldVmapRunner:
         total_nodes = ds.num_nodes
         model = self.model
 
+        # Fast sampling path (same gate as SupTrainer): one fold-vmappable
+        # Pallas PRNG+lane-gather pass per step instead of the XLA CSR
+        # gathers; features come pre-gathered from the global table.
+        self.nbr_table = None
+        if (
+            on_dev
+            and cfg.model.num_hidden_layers == 1
+            and jax.default_backend() == "tpu"
+        ):
+            tb = build_neighbor_table(ds)
+            if tb is not None:
+                self.nbr_table = jnp.asarray(tb)
+                self._deg_dev = jnp.asarray(ds.degrees, jnp.int32)
+                self._x_global = jnp.asarray(
+                    ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
+                )
+                if mesh is not None:
+                    rep = self._rep_sharding
+                    self.nbr_table = jax.device_put(self.nbr_table, rep)
+                    self._deg_dev = jax.device_put(self._deg_dev, rep)
+                    self._x_global = jax.device_put(self._x_global, rep)
+        fast = self.nbr_table is not None
+        nbr_table = self.nbr_table
+        deg_dev = getattr(self, "_deg_dev", None)
+        x_global = getattr(self, "_x_global", None)
+
         def _fold_epoch(params, opt_state, batches: GraphBatch, key, csr):
             """One fold's epoch: scan over its stacked batches (the same
             body as SupTrainer._train_scan_stacked)."""
@@ -181,14 +211,24 @@ class TenfoldVmapRunner:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                if on_dev:
+                nf = None
+                if on_dev and fast:
+                    seed = jax.random.randint(
+                        k_samp, (1,), 0, 2**31 - 1, jnp.int32
+                    )
+                    neigh_g = resample_batch_neighbors_fast(
+                        seed, nbr_table[b.node_gidx],
+                        deg_dev[b.node_gidx][:, None], b.node_gidx, K,
+                    )
+                    nf = x_global[neigh_g]
+                elif on_dev:
                     neigh = resample_batch_neighbors(
                         k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
                     )
                     b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop)
+                    scores = model.apply(pp, b, rng=k_drop, neigh_feat=nf)
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets)
 
