@@ -66,6 +66,11 @@ def main():
             # fused Pallas FFN kernel: 12.9 ms/step vs 33.2 ms/step for the
             # XLA path on this workload (v5e, honest completion barrier)
             use_pallas=os.environ.get("GT_USE_PALLAS", "1") == "1",
+            # whole-encoder mega-fwd + per-layer-bwd hybrid (ROADMAP item 6,
+            # built late round 3): encoder fwd+bwd 9.27 -> 8.34 ms at bench
+            # shapes (scripts/bench_hybrid.py)
+            use_pallas_whole_encoder=os.environ.get("GT_WHOLE_ENC", "1")
+            == "1",
         ),
         train=TrainConfig(num_epochs=1),
     )

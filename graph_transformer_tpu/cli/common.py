@@ -60,6 +60,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas encoder-layer kernel (TPU; ~2.4x the "
                         "XLA path on REDDIT-scale batches)")
+    p.add_argument("--whole_encoder", action="store_true",
+                   help="whole-encoder hybrid kernel: mega-forward (all T "
+                        "layers + slot-0 in one pallas_call) + per-layer "
+                        "backward chain — another ~10%% over --use_pallas")
     p.add_argument("--scan_epochs", action="store_true",
                    help="train each epoch as one device dispatch "
                         "(pre-built stacked batches + lax.scan)")
@@ -97,6 +101,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
             recurrence=args.recurrence,
             compute_dtype=args.compute_dtype,
             use_pallas=args.use_pallas,
+            use_pallas_whole_encoder=getattr(args, "whole_encoder", False),
         ),
         train=TrainConfig(
             learning_rate=args.learning_rate,

@@ -100,6 +100,8 @@ class GCNGraphUnsup:
         adj_mask=None,  # unused; trainer-interface compatibility
         csr=None,  # unused; trainer-interface compatibility
         neigh_feat=None,  # unused; GCN aggregates over edges, not fanouts
+        neigh_global=None,  # unused; trainer-interface compatibility
+        num_total_nodes=None,  # unused; trainer-interface compatibility
     ) -> jax.Array:
         z = self.encode(params, batch, rng=rng)
         per_node = sampled_softmax_loss(

@@ -95,6 +95,8 @@ class U2GNNSup:
         rng: Optional[jax.Array] = None,  # None => deterministic (eval)
         return_ponder: bool = False,
         neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
+        neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
+        num_total_nodes: Optional[int] = None,  # dataset size (fast path)
     ) -> jax.Array:
         """Return prediction scores [B, C] (``(scores, ponder)`` when
         ``return_ponder`` — the summed ACT ponder cost over U2GNN layers,
@@ -108,9 +110,10 @@ class U2GNNSup:
             neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]
         else:
             # precomputed by the trainer's fast sampling path (globally
-            # indexed gather — single-U2GNN-layer models only: deeper
-            # stacks re-gather by the batch-local ids in batch.neigh)
-            assert len(params.encoders) == 1
+            # indexed gather).  Deeper stacks re-gather between layers via
+            # ``neigh_global`` + a global scratch (ops.sparse.global_regather)
+            # — the fast sampler emits global ids, not batch-local ones.
+            assert len(params.encoders) == 1 or neigh_global is not None
             neigh_feat = neigh_feat.astype(jnp.dtype(cfg.compute_dtype))
         scores = 0.0
         ponder = jnp.zeros(())
@@ -141,7 +144,17 @@ class U2GNNSup:
                 ponder = ponder + p_i
             # re-gather updated self vectors as next layer's neighborhoods
             if i + 1 < len(params.encoders):
-                neigh_feat = out[batch.neigh]
+                if neigh_global is not None:
+                    from graph_transformer_tpu.ops.sparse import (
+                        global_regather,
+                    )
+
+                    neigh_feat = global_regather(
+                        out, batch.node_gidx, batch.node_mask,
+                        neigh_global, num_total_nodes,
+                    )
+                else:
+                    neigh_feat = out[batch.neigh]
             pooled = graph_sum_pool(
                 out.astype(jnp.float32) * batch.node_mask[:, None], batch.graph_id, B
             )

@@ -113,14 +113,17 @@ class U2GNNUnsup:
         rng: Optional[jax.Array] = None,
         regather: bool = True,
         neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
+        neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
+        num_total_nodes: Optional[int] = None,  # dataset size (fast path)
     ) -> jax.Array:
         """Per-node representation: [N_pad, k·D] (concat) or [N_pad, D].
 
         ``neigh_feat``: first-layer neighborhood features already gathered
         (the Pallas fast-sampling path supplies these from the *global*
         feature table; see sampling/pallas_sampler.py).  Deeper layers with
-        ``regather=True`` still need batch-local ``batch.neigh``, so callers
-        only pass this for ``num_hidden_layers == 1`` stacks."""
+        ``regather=True`` re-gather through ``neigh_global`` + a global
+        scratch (ops.sparse.global_regather) on the fast path, or by the
+        batch-local ``batch.neigh`` otherwise."""
         cfg = self.cfg
         if neigh_feat is None:
             x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
@@ -145,7 +148,17 @@ class U2GNNUnsup:
                     node_mask=batch.node_mask,
                     use_pallas=cfg.use_pallas,
                 )
-                neigh_feat = out[batch.neigh]
+                if neigh_global is not None:
+                    from graph_transformer_tpu.ops.sparse import (
+                        global_regather,
+                    )
+
+                    neigh_feat = global_regather(
+                        out, batch.node_gidx, batch.node_mask,
+                        neigh_global, num_total_nodes,
+                    )
+                else:
+                    neigh_feat = out[batch.neigh]
             else:
                 # fork variant: next layer consumes the full seq output
                 full = transformer_encoder(
@@ -189,12 +202,17 @@ class U2GNNUnsup:
         adj_mask: Optional[jax.Array] = None,  # [N, N] for contrastive
         csr=None,  # DeviceCSR, required for sampler_type='neighbor'
         neigh_feat: Optional[jax.Array] = None,  # fast-path gathered features
+        neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
+        num_total_nodes: Optional[int] = None,
     ) -> jax.Array:
         """Scalar training loss (sum of per-node sampled-softmax logits, the
         reference's objective ``loss = torch.sum(logits)``,
         ``train_pytorch_U2GNN_UnSup.py:155-156``)."""
         cfg = self.cfg
-        z = self.encode(params, batch, rng=rng, neigh_feat=neigh_feat)
+        z = self.encode(
+            params, batch, rng=rng, neigh_feat=neigh_feat,
+            neigh_global=neigh_global, num_total_nodes=num_total_nodes,
+        )
         if cfg.loss_type == "default":
             if rng is not None:
                 rng, r_drop = jax.random.split(rng)

@@ -231,9 +231,25 @@ def _params_at(refs, t, stored):
     return tuple(out)
 
 
+# Backward implementation toggle.  The T-unrolled mega-bwd kernel
+# (_bwd_kernel) was MEASURED SLOWER than the per-layer chain on v5e at
+# bench shapes (7.3-11.1 ms vs 6.2: >16 MB scoped VMEM at tile 504 spills;
+# at tile 288 the stacked-grad `ref[t] +=` + _spread0 relayouts dominate —
+# BASELINE.md round-3 notes).  The default backward is therefore the
+# HYBRID: mega forward (keeps the tile resident across layers + slot0-only
+# last layer) + a chain of per-layer bwd pallas_calls driven from the
+# forward's saved layer inputs — one layer's residuals live at a time, so
+# tile 504 fits VMEM and the last layer's bwd also gets the slot0-only
+# saving.  MEGA_BWD=True re-selects the recorded dead end for A/B runs.
+MEGA_BWD = False
+
+
 def _seed_layer(seed_ref, i, t, T):
-    # one PRNG stream per (tile, layer): fwd and bwd re-seed identically
-    pltpu.prng_seed(seed_ref[0, 0] + i * T + t)
+    # One PRNG stream per (tile, layer): fwd and bwd re-seed identically.
+    # Stream layout is t * n_tiles + i (layer-major) so the hybrid backward
+    # can replay layer t's streams from a single-layer kernel whose own
+    # per-tile offset is +i (base seed shifted by t * n_tiles outside).
+    pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
 
 
 def _fwd_kernel(seed_ref, x_ref, *refs, S, rate, T, stored):
@@ -284,6 +300,66 @@ def _bwd_kernel(seed_ref, x_ref, *refs, S, rate, T, stored):
         for ref, dg in zip(grad_refs, grads):
             ref[ts] += dg.reshape(ref.shape[1:])
     dx_ref[:] = g.astype(dx_ref.dtype)
+
+
+def _bwd1_kernel(seed_ref, x_ref, *refs, S, rate, slot0):
+    """Backward of ONE layer over one [R, D] tile: recompute the layer's
+    internals from its input (saved by the mega forward), then _layer_bwd.
+    Weight grads accumulate across the sequential grid (full-block outs)."""
+    param_refs = refs[:12]
+    dout_ref = refs[12]
+    dx_ref = refs[13]
+    grad_refs = refs[14:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + i)
+    x = x_ref[:].astype(jnp.float32)
+    p = tuple(r[:].astype(jnp.float32) for r in param_refs)
+    _, res = _layer_fwd(x, p, S=S, rate=rate, slot0_only=slot0,
+                        want_residuals=True, mm_dtype=mm)
+    dx, grads = _layer_bwd(x, p, res, dout_ref[:].astype(jnp.float32),
+                           S=S, rate=rate, slot0_only=slot0, mm_dtype=mm)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    for ref, dg in zip(grad_refs, grads):
+        ref[:] += dg.reshape(ref.shape)
+
+
+def _bwd1_call(x_pad, params_t, seed_arr, g, *, S, rate, slot0, R,
+               interpret):
+    """One pallas_call: backward of a single layer over all tiles.
+
+    ``x_pad`` [rows_pad, D] is the layer's input (tile-padded), ``params_t``
+    the layer's 12 unstacked params, ``g`` the output cotangent —
+    [rows_pad/S, D] when ``slot0`` (last layer: only self rows were
+    produced) else [rows_pad, D].  Returns (dx f32 [rows_pad, D],
+    12 f32 param grads)."""
+    rows_pad, D = x_pad.shape
+    grid = (rows_pad // R,)
+    G = R // S
+    p2 = [a if a.ndim == 2 else a.reshape(1, -1) for a in params_t]
+    param_specs = [_full_spec(a.shape) for a in p2]
+    dout_spec = (pl.BlockSpec((G, D), lambda i: (i, 0)) if slot0
+                 else pl.BlockSpec((R, D), lambda i: (i, 0)))
+    outs = pl.pallas_call(
+        functools.partial(_bwd1_kernel, S=S, rate=rate, slot0=slot0),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((R, D), lambda i: (i, 0))] + param_specs
+        + [dout_spec],
+        out_specs=[pl.BlockSpec((R, D), lambda i: (i, 0))]
+        + param_specs,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, D), jnp.float32)]
+        + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in p2],
+        interpret=interpret,
+    )(seed_arr, x_pad, *p2, g)
+    return outs[0], outs[1:]
 
 
 # ---------------------------------------------------------------- dispatcher
@@ -359,6 +435,56 @@ def _fwd_rule(x2d, params, seed, S, T, rate, tile_target, interpret):
 
 
 def _bwd_rule(S, T, rate, tile_target, interpret, res, dout):
+    if MEGA_BWD:
+        return _bwd_rule_mega(S, T, rate, tile_target, interpret, res, dout)
+    return _bwd_rule_hybrid(S, T, rate, tile_target, interpret, res, dout)
+
+
+def _bwd_rule_hybrid(S, T, rate, tile_target, interpret, res, dout):
+    """Per-layer backward chain from the mega forward's saved layer inputs:
+    T single-layer pallas_calls, each recomputing one layer's internals in
+    VMEM (ROADMAP round-3 item 6 — the forward win without the mega-bwd's
+    VMEM spills).  The last layer runs its slot0-only backward: its FFN
+    recompute + grads touch only the R/S self rows the forward produced."""
+    x2d, params, seed, saved = res
+    stored = params[0].shape[0]
+    R = tile_rows(S, tile_target)
+    xp, m = _pad_rows(x2d, R)
+    rows_pad = xp.shape[0]
+    n_tiles = rows_pad // R
+    G = R // S
+    seed0 = _seed_arr(seed)
+    # output cotangent of the last (slot0-only) layer: [N, D] -> padded G-rows
+    g, _ = _pad_rows(dout.astype(jnp.float32), G)
+    # per-stored-slice param-grad accumulators (f32, 2-D broadcast shapes)
+    acc = [[None] * 12 for _ in range(stored)]
+    for t in range(T - 1, -1, -1):
+        x_t = xp if t == 0 else saved[t - 1]
+        params_t = [a[t % stored] for a in params]
+        g, grads = _bwd1_call(
+            x_t, params_t, seed0 + t * n_tiles, g,
+            S=S, rate=rate, slot0=(t == T - 1), R=R, interpret=interpret,
+        )
+        ts = t % stored
+        for j, dg in enumerate(grads):
+            acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
+    dx = g[:m].astype(x2d.dtype)
+    dparams = []
+    for j, p in enumerate(params):
+        slices = [
+            (acc[ts][j].reshape(p.shape[1:]) if acc[ts][j] is not None
+             else jnp.zeros(p.shape[1:], jnp.float32))
+            for ts in range(stored)
+        ]
+        dparams.append(jnp.stack(slices).astype(p.dtype))
+    import numpy as _np
+
+    seed_ct = (None if seed is None
+               else _np.zeros(_np.shape(seed), jax.dtypes.float0))
+    return dx, tuple(dparams), seed_ct
+
+
+def _bwd_rule_mega(S, T, rate, tile_target, interpret, res, dout):
     x2d, params, seed, saved = res
     stored = params[0].shape[0]
     D = params[0].shape[1]

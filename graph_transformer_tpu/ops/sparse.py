@@ -105,3 +105,30 @@ def sddmm_dot(
 ) -> jax.Array:
     """Per-edge dot products <a[src], b[dst]> (sampled dense-dense matmul)."""
     return jnp.sum(a[edge_src] * b[edge_dst], axis=-1)
+
+
+def global_regather(
+    out: jax.Array,  # [N_pad, D] batch-local layer output
+    node_gidx: jax.Array,  # [N_pad] dataset-global ids (pad -> 0)
+    node_mask: jax.Array,  # [N_pad]
+    neigh_global: jax.Array,  # [N_pad, K+1] *global* sampled neighbor ids
+    num_total_nodes: int,
+) -> jax.Array:
+    """Inter-layer re-gather for the fast (global-id) sampling path.
+
+    The Pallas fast sampler (``sampling/pallas_sampler.py``) emits *global*
+    neighbor ids — remapping them to batch-local ids costs ~0.8 ms of
+    narrow XLA gathers at bench shapes, while D-wide row gathers cost only
+    ~0.14 ms (BASELINE.md round-3 profile).  So deeper U2GNN stacks
+    re-gather through a ``[total+1, D]`` scratch instead: scatter each
+    batch row to its global slot (padding rows go to the dummy slot
+    ``num_total_nodes`` — ``node_gidx`` pads to 0, which would clobber a
+    real node), then row-gather the global neighborhoods.  Graphs are
+    disjoint, so every real neighbor id is present in the batch and the
+    gather never reads a stale slot.  Replaces ``out[batch.neigh]``
+    (``pytorch_U2GNN_Sup.py:39``) on the fast path.
+    """
+    idx = jnp.where(node_mask > 0, node_gidx, num_total_nodes)
+    buf = jnp.zeros((num_total_nodes + 1, out.shape[-1]), out.dtype)
+    buf = buf.at[idx].set(out, mode="drop")
+    return buf[neigh_global]

@@ -148,7 +148,7 @@ def run_cv_on_device(
     # Fast sampling path (same gate as SupTrainer): fold-vmappable Pallas
     # PRNG+lane-gather sampling of global ids + global feature gather.
     nbr_table = deg_dev = x_global = None
-    if cfg.model.num_hidden_layers == 1 and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         tb = build_neighbor_table(ds)
         if tb is not None:
             nbr_table = jnp.asarray(tb)
@@ -208,16 +208,16 @@ def run_cv_on_device(
                     k_sel, ids, (B,), replace=False, p=p_sel
                 )
                 b = assemble_batch(dd, gids, n_pad)
-                nf = None
+                nf = ng = None
                 if fast:
                     seed = jax.random.randint(
                         k_samp, (1,), 0, 2**31 - 1, jnp.int32
                     )
-                    neigh_g = resample_batch_neighbors_fast(
+                    ng = resample_batch_neighbors_fast(
                         seed, nbr_table[b.node_gidx],
                         deg_dev[b.node_gidx][:, None], b.node_gidx, K,
                     )
-                    nf = x_global[neigh_g]
+                    nf = x_global[ng]
                 else:
                     neigh = resample_batch_neighbors(
                         k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
@@ -225,7 +225,10 @@ def run_cv_on_device(
                     b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop, neigh_feat=nf)
+                    scores = model.apply(
+                        pp, b, rng=k_drop, neigh_feat=nf,
+                        neigh_global=ng, num_total_nodes=total_nodes,
+                    )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets)
 

@@ -71,13 +71,13 @@ class SupTrainer:
         self.csr = DeviceCSR.from_dataset(ds) if cfg.train.on_device_sampling else None
         # Fast sampling path: one Pallas PRNG+lane-gather pass instead of
         # XLA's ~1.3 ms of narrow gathers (sampling/pallas_sampler.py).
-        # Applicable when every degree fits the 128-lane gather width and
-        # the model has a single U2GNN layer (deeper stacks re-gather by
-        # batch-local ids, which the global fast path does not produce).
+        # Applicable when every degree fits the 128-lane gather width.
+        # Deeper stacks re-gather between layers through a global scratch
+        # (ops.sparse.global_regather) since the fast sampler emits global,
+        # not batch-local, neighbor ids.
         self.nbr_table = None
         if (
             cfg.train.on_device_sampling
-            and cfg.model.num_hidden_layers == 1
             and jax.default_backend() == "tpu"
         ):
             tb = build_neighbor_table(ds)
@@ -119,12 +119,12 @@ class SupTrainer:
 
         def _resample(b, k_samp, csr, fr=None):
             """Fresh neighborhoods for one step: returns
-            ``(batch, neigh_feat-or-None)`` — the fast path samples *global*
-            ids in one Pallas pass and gathers features from the global
-            table (no batch-local remap); the CSR path updates
-            ``batch.neigh`` as before."""
+            ``(batch, neigh_feat-or-None, neigh_global-or-None)`` — the fast
+            path samples *global* ids in one Pallas pass and gathers
+            features from the global table (no batch-local remap); the CSR
+            path updates ``batch.neigh`` as before."""
             if not on_dev:
-                return b, None
+                return b, None, None
             if fast:
                 rows, degb = _fast_rows(b) if fr is None else fr
                 seed = jax.random.randint(
@@ -133,22 +133,23 @@ class SupTrainer:
                 neigh_g = resample_batch_neighbors_fast(
                     seed, rows, degb, b.node_gidx, K
                 )
-                return b, x_global[neigh_g]
+                return b, x_global[neigh_g], neigh_g
             neigh = resample_batch_neighbors(
                 k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
             )
-            return dataclasses.replace(b, neigh=neigh), None
+            return dataclasses.replace(b, neigh=neigh), None, None
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _train_step(params, opt_state, batch: GraphBatch, key, csr):
 
 
             k_samp, k_drop = jax.random.split(key)
-            batch, nf = _resample(batch, k_samp, csr)
+            batch, nf, ng = _resample(batch, k_samp, csr)
 
             def loss_fn(p):
                 scores, ponder = model.apply(
-                    p, batch, rng=k_drop, return_ponder=True, neigh_feat=nf
+                    p, batch, rng=k_drop, return_ponder=True, neigh_feat=nf,
+                    neigh_global=ng, num_total_nodes=total_nodes,
                 )
                 targets = label_smoothing(batch.labels, num_classes, smoothing)
                 # t2t act_loss (only nonzero for recurrence == "act")
@@ -178,11 +179,12 @@ class SupTrainer:
                 p, s = carry
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                b, nf = _resample(batch, k_samp, csr, fr)
+                b, nf, ng = _resample(batch, k_samp, csr, fr)
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
-                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf
+                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf,
+                        neigh_global=ng, num_total_nodes=total_nodes,
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder
@@ -210,11 +212,12 @@ class SupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                b, nf = _resample(b, k_samp, csr)
+                b, nf, ng = _resample(b, k_samp, csr)
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
-                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf
+                        pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf,
+                        neigh_global=ng, num_total_nodes=total_nodes,
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder

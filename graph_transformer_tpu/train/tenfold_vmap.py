@@ -180,11 +180,7 @@ class TenfoldVmapRunner:
         # Pallas PRNG+lane-gather pass per step instead of the XLA CSR
         # gathers; features come pre-gathered from the global table.
         self.nbr_table = None
-        if (
-            on_dev
-            and cfg.model.num_hidden_layers == 1
-            and jax.default_backend() == "tpu"
-        ):
+        if on_dev and jax.default_backend() == "tpu":
             tb = build_neighbor_table(ds)
             if tb is not None:
                 self.nbr_table = jnp.asarray(tb)
@@ -211,16 +207,16 @@ class TenfoldVmapRunner:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                nf = None
+                nf = ng = None
                 if on_dev and fast:
                     seed = jax.random.randint(
                         k_samp, (1,), 0, 2**31 - 1, jnp.int32
                     )
-                    neigh_g = resample_batch_neighbors_fast(
+                    ng = resample_batch_neighbors_fast(
                         seed, nbr_table[b.node_gidx],
                         deg_dev[b.node_gidx][:, None], b.node_gidx, K,
                     )
-                    nf = x_global[neigh_g]
+                    nf = x_global[ng]
                 elif on_dev:
                     neigh = resample_batch_neighbors(
                         k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
@@ -228,7 +224,10 @@ class TenfoldVmapRunner:
                     b = dataclasses.replace(b, neigh=neigh)
 
                 def loss_fn(pp):
-                    scores = model.apply(pp, b, rng=k_drop, neigh_feat=nf)
+                    scores = model.apply(
+                        pp, b, rng=k_drop, neigh_feat=nf,
+                        neigh_global=ng, num_total_nodes=total_nodes,
+                    )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets)
 

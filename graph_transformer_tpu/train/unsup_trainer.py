@@ -71,13 +71,12 @@ class UnsupTrainer:
         self.csr = DeviceCSR.from_dataset(ds) if need_csr else None
         # Fast sampling path (same gate as SupTrainer): one Pallas
         # PRNG+lane-gather pass sampling *global* neighbor ids, features
-        # gathered from the global table — applicable at a single U2GNN
-        # layer (deeper stacks re-gather by batch-local ids) with every
-        # degree ≤ the 128-lane gather width.
+        # gathered from the global table — applicable when every degree fits
+        # the 128-lane gather width.  Deeper stacks re-gather between layers
+        # through a global scratch (ops.sparse.global_regather).
         self.nbr_table = None
         if (
             cfg.train.on_device_sampling
-            and cfg.model.num_hidden_layers == 1
             and cfg.model.model != "gcn_unsup"
             and jax.default_backend() == "tpu"
         ):
@@ -110,31 +109,32 @@ class UnsupTrainer:
         x_global = getattr(self, "_x_global", None)
 
         def _resample(b, k_samp, csr):
-            """(batch, neigh_feat-or-None) with fresh neighborhoods — the
-            fast path samples global ids in one Pallas pass and gathers
+            """(batch, neigh_feat, neigh_global) with fresh neighborhoods —
+            the fast path samples global ids in one Pallas pass and gathers
             features from the global table (see SupTrainer._resample)."""
             if not on_dev:
-                return b, None
+                return b, None, None
             if fast:
                 seed = jax.random.randint(k_samp, (1,), 0, 2**31 - 1, jnp.int32)
                 neigh_g = resample_batch_neighbors_fast(
                     seed, nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None],
                     b.node_gidx, K,
                 )
-                return b, x_global[neigh_g]
+                return b, x_global[neigh_g], neigh_g
             neigh = resample_batch_neighbors(
                 k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
             )
-            return dataclasses.replace(b, neigh=neigh), None
+            return dataclasses.replace(b, neigh=neigh), None, None
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _train_step(params, opt_state, batch: GraphBatch, key, csr):
             k_samp, k_cand, k_drop = jax.random.split(key, 3)
-            batch, nf = _resample(batch, k_samp, csr)
+            batch, nf, ng = _resample(batch, k_samp, csr)
 
             def loss_fn(p):
                 return model.loss(
-                    p, batch, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf
+                    p, batch, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
+                    neigh_global=ng, num_total_nodes=total_nodes,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -153,11 +153,12 @@ class UnsupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_cand, k_drop = jax.random.split(step_key, 3)
-                b, nf = _resample(b, k_samp, csr)
+                b, nf, ng = _resample(b, k_samp, csr)
 
                 def loss_fn(pp):
                     return model.loss(
-                        pp, b, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf
+                        pp, b, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
+                        neigh_global=ng, num_total_nodes=total_nodes,
                     )
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)

@@ -1,0 +1,92 @@
+"""Accuracy parity of the whole-encoder HYBRID path (mega-fwd +
+per-layer-bwd, ops/pallas_u2gnn.py) on full 10-fold CV.
+
+bench.py now runs use_pallas + use_pallas_whole_encoder; per round-2's
+verdict the kernel that is benchmarked must be the kernel accuracy is
+measured with — so this reruns the README MUTAG/PTC rows on the exact
+bench configuration (hybrid kernels, bf16, fast Pallas sampler) via the
+fold-vmapped runner and compares to the XLA-f32 numbers in
+runs/tenfold_all (RESULTS.md).  Parity bar: |Δmean| ≤ 0.04 (the round-2
+threshold, ≈2 test graphs on MUTAG).
+
+Writes runs/hybrid_parity_r3.json.  Run on the real chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graph_transformer_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from graph_transformer_tpu.data.tu import load_tu_dataset
+from graph_transformer_tpu.train.tenfold_vmap import TenfoldVmapRunner
+
+CONFIGS = {
+    "MUTAG": dict(batch=4, K=8, T=4, epochs=50),
+    "PTC": dict(batch=4, K=16, T=3, epochs=50),
+}
+
+
+def xla_reference(name):
+    path = os.path.join("runs/tenfold_all/results_r2.jsonl")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("dataset") == name:
+                return r
+    return None
+
+
+def main():
+    out = {}
+    for name, c in CONFIGS.items():
+        ds = load_tu_dataset(name)
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=c["batch"], num_neighbors=c["K"]),
+            model=ModelConfig(
+                num_timesteps=c["T"], num_hidden_layers=1,
+                ff_hidden_size=1024, use_pallas=True,
+                use_pallas_whole_encoder=True,
+                compute_dtype="bfloat16",
+            ),
+            train=TrainConfig(num_epochs=c["epochs"], learning_rate=5e-4),
+        )
+        t0 = time.time()
+        runner = TenfoldVmapRunner(ds, cfg)
+        best, mean, std = runner.run(
+            log_fn=lambda m: print(f"[{name}] {m}", flush=True)
+        )
+        dt = time.time() - t0
+        ref = xla_reference(name)
+        gap = abs(mean - ref["mean"]) if ref else None
+        out[name] = {
+            "hybrid_bf16": {"mean": mean, "std": std, "folds": best.tolist()},
+            "xla_f32": ({"mean": ref["mean"], "std": ref["std"]}
+                        if ref else None),
+            "abs_gap": gap,
+            "within_fold_noise": (gap is not None and gap <= 0.04),
+            "config": c,
+            "seconds": dt,
+        }
+        print(f"{name}: hybrid {mean:.4f}±{std:.4f}"
+              + (f" vs xla {ref['mean']:.4f} (gap {gap:.4f})" if ref else ""),
+              flush=True)
+    os.makedirs("runs", exist_ok=True)
+    with open("runs/hybrid_parity_r3.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote runs/hybrid_parity_r3.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,27 @@ def test_dropout_mean_preserving():
                              S, T, 0.5, 128, True)
     assert np.all(np.isfinite(np.asarray(o1)))
     assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+
+def test_fold_vmap_batches(x3d):
+    """The CV runners vmap the train step over folds: the mega-kernel (and
+    its hybrid per-layer backward) must batch under vmap — seeds travel as
+    regular (1, 1) inputs, never scalar-prefetch (see pallas_ffn._seed_arr).
+    """
+    F_folds = 3
+    params_f = [mk_params(T, seed=s) for s in range(F_folds)]
+    stacked = tuple(jnp.stack([p[j] for p in params_f])
+                    for j in range(12))
+    x2d = x3d.reshape(N * S, D)
+    w = jnp.cos(jnp.arange(N * D, dtype=jnp.float32).reshape(N, D) * 0.01)
+
+    def loss(p):
+        return jnp.sum(fused_u2gnn_encoder(x2d, p, None, S, T, 0.0, 128,
+                                           True) * w)
+
+    g_v = jax.vmap(jax.grad(loss))(stacked)
+    for f in range(F_folds):
+        g_s = jax.grad(loss)(params_f[f])
+        for a, b, nm in zip([gv[f] for gv in g_v], g_s, PARAM_NAMES):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3, err_msg=nm)
