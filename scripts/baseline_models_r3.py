@@ -43,14 +43,32 @@ UNSUP_CONFIGS = {
 }
 
 
-def _dump(out, path="runs/baselines_r3.json"):
+RESULTS_PATH = "runs/baselines_r3.json"
+
+
+def _dump(out, path=RESULTS_PATH):
     os.makedirs("runs", exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
 
 
+def _load_existing():
+    """Row-level resume: retries under the elastic supervisor skip rows
+    already measured (the round-3 queue preemption lost everything because
+    this didn't exist)."""
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            prev = json.load(f)
+        return {"gcn_unsup": prev.get("gcn_unsup", {}),
+                "node": prev.get("node", {})}
+    return {"gcn_unsup": {}, "node": {}}
+
+
 def gcn_unsup_rows(out):
     for name, c in UNSUP_CONFIGS.items():
+        if name in out["gcn_unsup"]:
+            print(f"gcn_unsup {name}: already measured, skipping", flush=True)
+            continue
         ds = load_tu_dataset(name)
         cfg = ExperimentConfig(
             data=DataConfig(batch_size=c["batch"], num_neighbors=c["K"]),
@@ -80,6 +98,10 @@ def node_rows(out):
     for ds_name in ("karate", "sbm"):
         ds = load_node_dataset(ds_name)
         for model in ("u2gnn", "gcn", "gat"):
+            if f"{ds_name}_{model}" in out["node"]:
+                print(f"node {ds_name} {model}: already measured, skipping",
+                      flush=True)
+                continue
             cfg = ExperimentConfig(
                 data=DataConfig(num_neighbors=8),
                 model=ModelConfig(
@@ -105,7 +127,7 @@ def node_rows(out):
 
 
 def main():
-    out = {"gcn_unsup": {}, "node": {}}
+    out = _load_existing()
     gcn_unsup_rows(out)
     node_rows(out)
     _dump(out)

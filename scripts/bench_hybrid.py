@@ -37,8 +37,6 @@ def check_grad_with_dropout():
     """Hybrid bwd vs mega bwd at rate 0.5 with the same seed, small shapes:
     grads must agree (both recompute from the same per-(tile, layer) PRNG
     streams; the mega bwd literally calls the forward's _seed_layer)."""
-    import graph_transformer_tpu.ops.pallas_u2gnn as mod
-
     n, f = 36, 64
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n * S, D)), jnp.float32)
@@ -51,18 +49,16 @@ def check_grad_with_dropout():
     seed = jnp.asarray([1234], jnp.int32)
     w = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
 
-    def grads():
+    def grads(mega_bwd):
         def loss(p, xx):
             return jnp.sum(
-                fused_u2gnn_encoder(xx, p, seed, S, T, 0.5) * w)
+                fused_u2gnn_encoder(xx, p, seed, S, T, 0.5, 512, False,
+                                    mega_bwd) * w)
 
         return jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
 
-    mod.MEGA_BWD = False
-    gp_h, gx_h = grads()
-    mod.MEGA_BWD = True
-    gp_m, gx_m = grads()
-    mod.MEGA_BWD = False
+    gp_h, gx_h = grads(mega_bwd=False)
+    gp_m, gx_m = grads(mega_bwd=True)
     ok = True
     for i, (a, b) in enumerate(zip(gp_h, gp_m)):
         d = float(jnp.abs(a - b).max())

