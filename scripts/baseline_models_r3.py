@@ -102,11 +102,13 @@ def node_rows(out):
                 print(f"node {ds_name} {model}: already measured, skipping",
                       flush=True)
                 continue
+            # sampled_num must stay below the node vocabulary (karate: 34)
+            nsamp = min(64, max(8, ds.num_nodes // 2))
             cfg = ExperimentConfig(
                 data=DataConfig(num_neighbors=8),
                 model=ModelConfig(
                     model=model, num_timesteps=2, num_hidden_layers=2,
-                    ff_hidden_size=256, sampled_num=64, loss_type="default",
+                    ff_hidden_size=256, sampled_num=nsamp, loss_type="default",
                 ),
                 train=TrainConfig(num_epochs=40, learning_rate=1e-3,
                                   eval_every=4),

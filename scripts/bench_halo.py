@@ -111,9 +111,80 @@ def timed_steps(step, params, opt_state, x, plan, steps=STEPS):
     return (time.perf_counter() - t0) / steps
 
 
+def compare_partitions(n_total, K, D, ff, out_path):
+    """Round-4 anchor (VERDICT item 1c): on the power-law graph, compare
+    the naive equal-node contiguous partition against
+    ``partition_nodes_by_edges``, and the blocking exchange against the
+    overlapped schedule, at S in {2, 4, 8}.  Also reports the adversarial
+    uniform-random partition — on it the interior fraction is ~(1/S)^K, so
+    NO schedule can hide the exchange (every row's compute depends on it);
+    the partitioner exists precisely so deployments never run that case."""
+    from graph_transformer_tpu.parallel.edge_partition import (
+        apply_node_partition,
+        build_halo_plan,
+        halo_cost_model,
+        partition_nodes_by_edges,
+    )
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for graph in ("powerlaw", "random"):
+        neigh = make_neigh(n_total, K, graph)
+        n = neigh.shape[0]
+        deg = np.bincount(neigh[:, 1:].reshape(-1), minlength=n)
+        x = rng.standard_normal((n, D)).astype(np.float32)
+        for S in (2, 4, 8):
+            n_even = n - (n % S)
+            plan_naive = build_halo_plan(
+                np.minimum(neigh[:n_even], n_even - 1), S
+            )
+            m_naive = halo_cost_model(plan_naive, n_even // S, D, 2, ff)
+            part = partition_nodes_by_edges(deg, S, crossing_window=0.0)
+            neigh_b, _ = apply_node_partition(part, neigh, x)
+            plan_bal = build_halo_plan(neigh_b, S)
+            m_bal = halo_cost_model(plan_bal, part.n_local, D, 2, ff,
+                                    valid_fraction=float(part.valid.mean()))
+            part_mc = partition_nodes_by_edges(deg, S, neigh=neigh,
+                                               crossing_window=0.15)
+            neigh_mc, _ = apply_node_partition(part_mc, neigh, x)
+            plan_mc = build_halo_plan(neigh_mc, S)
+            m_mc = halo_cost_model(
+                plan_mc, part_mc.n_local, D, 2, ff,
+                valid_fraction=float(part_mc.valid.mean()))
+
+            def summarize(m):
+                return {
+                    "halo_rows": m["halo_rows_per_shard"],
+                    "collective_bytes": m["collective_bytes_per_step"],
+                    "interior_fraction": m["interior_fraction"],
+                    "valid_fraction": m["valid_fraction"],
+                    "eff_blocking": m["predicted_efficiency"],
+                    "eff_overlap": m["predicted_efficiency_overlap"],
+                }
+
+            row = {
+                "graph": graph,
+                "shards": S,
+                "naive": summarize(m_naive),
+                "edge_balanced": summarize(m_bal),
+                "edge_balanced_min_crossing": summarize(m_mc),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+    prev = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+    prev["partition_comparison_r4"] = rows
+    with open(out_path, "w") as f:
+        json.dump(prev, f, indent=2)
+    print(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["chip", "virtual"], required=True)
+    ap.add_argument("--mode", choices=["chip", "virtual", "model"],
+                    required=True)
     ap.add_argument("--n_total", type=int, default=8192)
     ap.add_argument("--K", type=int, default=8)
     ap.add_argument("--D", type=int, default=64)
@@ -122,6 +193,10 @@ def main():
                     default="random")
     ap.add_argument("--out", default="runs/halo_anchor.json")
     args = ap.parse_args()
+
+    if args.mode == "model":
+        compare_partitions(args.n_total, args.K, args.D, args.ff, args.out)
+        return
 
     prev = {}
     if os.path.exists(args.out):

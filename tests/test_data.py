@@ -190,3 +190,42 @@ def test_graph_of_node_matches_offsets(mutag):
     off = mutag.graph_offsets
     for gid in (0, 1, mutag.num_graphs - 1):
         assert (g[off[gid]:off[gid + 1]] == gid).all()
+
+
+def test_permute_graphs_invariants(mutag):
+    """permute_graphs reorders graphs (killing the file-order label leak,
+    see scripts/unsup_leak_control.py) while preserving every per-graph
+    structure: sizes, labels, degree and tag multisets, edge symmetry."""
+    from graph_transformer_tpu.data.tu import permute_graphs
+
+    p = permute_graphs(mutag, seed=1)
+    g = np.random.default_rng(1).permutation(mutag.num_graphs)
+    assert p.num_nodes == mutag.num_nodes
+    assert p.num_directed_edges == mutag.num_directed_edges
+    np.testing.assert_array_equal(p.labels, mutag.labels[g])
+    for new_gid in (0, 5, mutag.num_graphs - 1):
+        old_gid = g[new_gid]
+        a, b = p.graph_offsets[new_gid], p.graph_offsets[new_gid + 1]
+        oa, ob = mutag.graph_offsets[old_gid], mutag.graph_offsets[old_gid + 1]
+        np.testing.assert_array_equal(
+            np.sort(p.degrees[a:b]), np.sort(mutag.degrees[oa:ob])
+        )
+        np.testing.assert_array_equal(
+            np.sort(p.node_feat[a:b].argmax(1)),
+            np.sort(mutag.node_feat[oa:ob].argmax(1)),
+        )
+    # edges stay within their graph and remain paired
+    src, dst = p.edge_arrays()
+    gof = p.graph_of_node
+    assert (gof[src] == gof[dst]).all()
+
+
+def test_tu_files_are_class_sorted(mutag):
+    """The round-4 leak finding's premise: TU files list graphs sorted by
+    class, so the graph index alone predicts the label (this is WHY
+    permute_graphs exists — any transductive global-id protocol can read
+    the label from node-id statistics)."""
+    y = mutag.labels
+    # one class occupies a contiguous prefix
+    changes = int((np.diff(y) != 0).sum())
+    assert changes == 1, "MUTAG labels are a two-block sequence"

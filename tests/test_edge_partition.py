@@ -240,3 +240,270 @@ def test_halo_cost_model_sane():
     m2 = halo_cost_model(build_halo_plan(neigh_glob, n_shards),
                          n_local, 64, 2, 1024)
     assert m2["collective_bytes_per_step"] == 2 * m_glob["collective_bytes_per_step"]
+
+
+# ---------------------------------------------------------------- round 4
+def test_partition_nodes_by_edges_balances_edges():
+    """Contiguous cuts by cumulative degree: each range carries ~1/S of the
+    edges even on a power-law degree sequence (SURVEY 7.3#4)."""
+    from graph_transformer_tpu.parallel.edge_partition import (
+        partition_nodes_by_edges,
+    )
+
+    rng = np.random.default_rng(0)
+    deg = np.sort(rng.zipf(1.7, size=4096).clip(max=2000))[::-1]
+    part = partition_nodes_by_edges(deg, 8)
+    loads = np.array([
+        deg[part.cuts[s]:part.cuts[s + 1]].sum() for s in range(8)
+    ])
+    assert loads.max() / loads.mean() < 1.35  # hubs bound the granularity
+    # equal-node split for comparison: hub shard is far heavier
+    naive = np.array([a.sum() for a in np.array_split(deg, 8)])
+    assert naive.max() / naive.mean() > 2.0
+    # renumbering is a bijection on real nodes
+    assert len(np.unique(part.new_of_old)) == len(deg)
+    back = part.old_of_new[part.new_of_old]
+    np.testing.assert_array_equal(back, np.arange(len(deg)))
+    assert part.valid.sum() == len(deg)
+    assert part.num_new_nodes % 8 == 0
+
+
+def test_apply_node_partition_remaps_consistently():
+    from graph_transformer_tpu.parallel.edge_partition import (
+        apply_node_partition,
+        partition_nodes_by_edges,
+    )
+
+    rng = np.random.default_rng(1)
+    n, k1, d = 37, 4, 3
+    deg = rng.integers(1, 30, n)
+    neigh = rng.integers(0, n, (n, k1)).astype(np.int32)
+    neigh[:, 0] = np.arange(n)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    part = partition_nodes_by_edges(deg, 4)
+    neigh_new, x_new = apply_node_partition(part, neigh, x)
+    # features land at the renumbered slots
+    np.testing.assert_array_equal(x_new[part.new_of_old], x)
+    # neighbor gather is invariant under the renumbering
+    np.testing.assert_array_equal(
+        x_new[neigh_new[part.new_of_old]], x[neigh]
+    )
+    # padding rows: self-only neighborhoods
+    pad = ~part.valid
+    if pad.any():
+        rows = np.nonzero(pad)[0]
+        np.testing.assert_array_equal(
+            neigh_new[rows], np.tile(rows[:, None], (1, k1))
+        )
+
+
+def test_halo_overlap_forward_matches_blocking():
+    """The overlapped interior/boundary schedule computes row-for-row the
+    same math as the blocking halo_gather + whole-shard encode; the only
+    residue is XLA's shape-dependent vectorization of the row-internal
+    reductions (measured ~1e-7 — same-op-different-lane-order float
+    noise, not a schedule difference)."""
+    from graph_transformer_tpu.ops.attention import neighborhood_encoder
+    from graph_transformer_tpu.parallel.edge_partition import (
+        build_overlap_plan,
+        halo_unsup_forward_local,
+        init_halo_unsup_params,
+    )
+
+    n_shards, n_local, K, d, ff = 4, 16, 3, 8, 16
+    n = n_shards * n_local
+    rng = np.random.default_rng(5)
+    # mixed locality: half the slots local, half global
+    neigh = rng.integers(0, n, size=(n, K + 1)).astype(np.int32)
+    local_base = (np.arange(n) // n_local) * n_local
+    neigh[:, 1] = local_base + rng.integers(0, n_local, n)
+    neigh[:, 0] = np.arange(n)
+    plan = build_halo_plan(neigh, n_shards)
+    oplan = build_overlap_plan(plan)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    params = init_halo_unsup_params(jax.random.key(0), 2, d, ff, n)
+
+    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:n_shards])
+
+    def run(overlapped):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("data"), P(), P("data"), P("data"), P("data"),
+                      P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        def fwd(x_local, export_idx, imp_src, imp_row, imp_loc, ir, br):
+            return halo_unsup_forward_local(
+                params, x_local, export_idx, imp_src[0], imp_row[0],
+                imp_loc[0], num_timesteps=1, rng=None,
+                interior_rows=ir[0] if overlapped else None,
+                boundary_rows=br[0] if overlapped else None,
+            )
+
+        return np.asarray(fwd(
+            jnp.asarray(x), plan.export_idx, plan.import_src,
+            plan.import_row, plan.import_local,
+            oplan.interior_rows, oplan.boundary_rows,
+        ))
+
+    blocking = run(False)
+    overlapped = run(True)
+    np.testing.assert_allclose(overlapped, blocking, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_overlap_train_step_matches_blocking_loss():
+    """Regime-3 (overlapped) full train step reproduces the regime-2
+    (blocking) step: same loss, same updated params (the VERDICT item-1
+    correctness bar; agreement is to float precision — the schedules are
+    op-identical per row, XLA vectorization leaves ~1e-7 noise)."""
+    import optax
+
+    from graph_transformer_tpu.parallel.edge_partition import (
+        build_overlap_plan,
+        init_halo_unsup_params,
+        make_halo_train_step,
+    )
+
+    n_shards, n_local, K, d, ff, nsampled = 4, 8, 3, 8, 16, 8
+    n = n_shards * n_local
+    rng = np.random.default_rng(3)
+    neigh = rng.integers(0, n, size=(n, K + 1)).astype(np.int32)
+    neigh[:, 0] = np.arange(n)
+    plan = build_halo_plan(neigh, n_shards)
+    oplan = build_overlap_plan(plan)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    params = init_halo_unsup_params(jax.random.key(0), 2, d, ff, n)
+    opt = optax.sgd(1e-2)
+
+    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:n_shards])
+    key = jax.random.key(7)
+    step2 = make_halo_train_step(opt, mesh, n, nsampled, num_timesteps=1,
+                                 donate=False, deterministic=True)
+    p2, _, loss2 = step2(params, opt.init(params), jnp.asarray(x), plan, key)
+    step3 = make_halo_train_step(opt, mesh, n, nsampled, num_timesteps=1,
+                                 donate=False, deterministic=True,
+                                 overlap=True)
+    valid = jnp.ones((n,), jnp.float32)
+    p3, _, loss3 = step3(params, opt.init(params), jnp.asarray(x), plan,
+                         oplan, valid, key)
+    assert float(loss3) == pytest.approx(float(loss2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p3),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_halo_overlap_step_with_edge_balanced_partition():
+    """End-to-end regime 3 on an edge-balanced padded partition: the masked
+    loss equals a single-device reference over the REAL nodes only."""
+    import optax
+
+    from graph_transformer_tpu.ops.attention import neighborhood_encoder
+    from graph_transformer_tpu.ops.sampled_softmax import (
+        sampled_softmax_loss,
+    )
+    from graph_transformer_tpu.parallel.edge_partition import (
+        apply_node_partition,
+        build_overlap_plan,
+        init_halo_unsup_params,
+        make_halo_train_step,
+        partition_nodes_by_edges,
+    )
+    from graph_transformer_tpu.sampling.log_uniform import LogUniformSpec
+
+    n_shards, K, d, ff, nsampled = 4, 3, 8, 16, 8
+    rng = np.random.default_rng(11)
+    n_old = 29  # deliberately not divisible by n_shards
+    deg = rng.zipf(1.8, n_old).clip(max=50)
+    neigh = rng.integers(0, n_old, size=(n_old, K + 1)).astype(np.int32)
+    neigh[:, 0] = np.arange(n_old)
+    x_old = rng.standard_normal((n_old, d)).astype(np.float32)
+
+    part = partition_nodes_by_edges(deg, n_shards, pad_multiple=2)
+    neigh_new, x_new = apply_node_partition(part, neigh, x_old)
+    n = part.num_new_nodes
+    plan = build_halo_plan(neigh_new, n_shards)
+    oplan = build_overlap_plan(plan)
+    params = init_halo_unsup_params(jax.random.key(0), 2, d, ff, n)
+    opt = optax.sgd(1e-2)
+
+    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:n_shards])
+    step = make_halo_train_step(opt, mesh, n, nsampled, num_timesteps=1,
+                                donate=False, deterministic=True,
+                                overlap=True)
+    key = jax.random.key(2)
+    valid = jnp.asarray(part.valid.astype(np.float32))
+    _, _, loss = step(params, opt.init(params), jnp.asarray(x_new), plan,
+                      oplan, valid, key)
+
+    # single-device reference over the new id space, masked to real nodes
+    k_cand, _ = jax.random.split(key)
+    spec = LogUniformSpec.create(n, nsampled)
+    h = jnp.asarray(x_new)
+    for enc in params.encoders:
+        h = neighborhood_encoder(enc, h[jnp.asarray(neigh_new)],
+                                 dropout_rate=0.5, rng=None,
+                                 num_timesteps=1)
+    losses = sampled_softmax_loss(
+        params.ss, k_cand, h, jnp.arange(n, dtype=jnp.int32), spec
+    )
+    want = float(jnp.sum(losses * valid))
+    assert float(loss) == pytest.approx(want, rel=1e-5)
+
+
+def test_cost_model_overlap_raises_efficiency():
+    from graph_transformer_tpu.parallel.edge_partition import (
+        build_halo_plan,
+        halo_cost_model,
+    )
+
+    n_shards, n_local, K = 8, 256, 8
+    n = n_shards * n_local
+    rng = np.random.default_rng(0)
+    # 80% local slots: enough interior rows to hide the exchange under
+    neigh = rng.integers(0, n, (n, K + 1)).astype(np.int32)
+    base = (np.arange(n, dtype=np.int32) // n_local) * n_local
+    mask = rng.random((n, K + 1)) < 0.8
+    neigh = np.where(
+        mask, base[:, None] + rng.integers(0, n_local, (n, K + 1)), neigh
+    ).astype(np.int32)
+    neigh[:, 0] = np.arange(n)
+    m = halo_cost_model(build_halo_plan(neigh, n_shards),
+                        n_local, 4, 1, 1024)
+    assert 0 < m["interior_fraction"] < 1
+    assert m["predicted_efficiency_overlap"] >= m["predicted_efficiency"]
+    assert m["predicted_efficiency_overlap"] <= 1.0
+
+
+def test_min_crossing_cuts_land_between_graphs():
+    """With the neighborhood table supplied, cut points slide to reference-
+    free positions: on a graph-contiguous dataset the halo disappears
+    (measured on the power-law anchor: H 77 -> 1 at S=8,
+    runs/halo_anchor.json partition_comparison_r4)."""
+    from graph_transformer_tpu.parallel.edge_partition import (
+        apply_node_partition,
+        build_halo_plan,
+        partition_nodes_by_edges,
+    )
+
+    rng = np.random.default_rng(2)
+    # 4 graphs of 10 nodes each, all neighbor refs within the own graph
+    n, g_sz = 40, 10
+    base = (np.arange(n) // g_sz) * g_sz
+    neigh = (base[:, None] + rng.integers(0, g_sz, (n, 4))).astype(np.int32)
+    neigh[:, 0] = np.arange(n)
+    deg = np.ones(n, dtype=np.int64)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+
+    part_plain = partition_nodes_by_edges(deg, 2, pad_multiple=2)
+    part_mc = partition_nodes_by_edges(deg, 2, pad_multiple=2, neigh=neigh,
+                                       crossing_window=0.3)
+    neigh_p, _ = apply_node_partition(part_plain, neigh, x)
+    neigh_m, _ = apply_node_partition(part_mc, neigh, x)
+    h_plain = build_halo_plan(neigh_p, 2).halo_size
+    h_mc = build_halo_plan(neigh_m, 2).halo_size
+    assert h_mc <= h_plain
+    # min-crossing cuts are reference-free: every cut sits at a multiple of
+    # the graph size (between graphs)
+    assert all(c % g_sz == 0 for c in part_mc.cuts), part_mc.cuts
