@@ -75,11 +75,16 @@ class TenfoldVmapRunner:
         folds: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         fold_axis: str = "data",
+        val_fraction: float = 0.0,
     ):
         """``mesh``: optional device mesh; the fold axis is sharded over
         ``mesh.axis_names[…fold_axis]`` so folds run on distinct chips
         (GSPMD partitions the vmapped program — there is no cross-fold
-        communication, so scaling is embarrassingly parallel over ICI)."""
+        communication, so scaling is embarrassingly parallel over ICI).
+
+        ``val_fraction`` > 0 carves a stratified validation subset out of
+        each fold's TRAIN indices (training uses the remainder) for
+        epoch-selection protocols — see ``scripts/ptc_protocol.py``."""
         # use_pallas is fold-vmappable since the kernels take their dropout
         # seed as a regular (1,1) input (ops/pallas_ffn._seed_arr): the vmap
         # axis becomes a leading grid dimension instead of hitting jax's
@@ -91,6 +96,23 @@ class TenfoldVmapRunner:
             if folds is None
             else folds
         )
+        self.val_sets: Optional[List[np.ndarray]] = None
+        if val_fraction > 0.0:
+            rng = np.random.default_rng(cfg.train.seed + 7919)
+            new_folds, vals = [], []
+            for tr, te in self.folds:
+                tr = np.asarray(tr)
+                val_idx = []
+                for c in np.unique(ds.labels[tr]):
+                    m = tr[ds.labels[tr] == c]
+                    m = m[rng.permutation(len(m))]
+                    k = max(1, int(round(val_fraction * len(m))))
+                    val_idx.append(m[:k])
+                val = np.concatenate(val_idx)
+                keep = np.setdiff1d(tr, val)
+                new_folds.append((keep, te))
+                vals.append(val)
+            self.folds, self.val_sets = new_folds, vals
         F = len(self.folds)
         self.num_folds = F
 
@@ -262,10 +284,24 @@ class TenfoldVmapRunner:
 
             return jax.vmap(one_fold)(params_f, ebatches_f, mask_f, labels_f)
 
+        @jax.jit
+        def _eval_scores_all_folds(params_f, ebatches_f, mask_f, labels_f):
+            def one_fold(p, ebs, m, labels):
+                def fwd(b):
+                    return model.apply(p, b, rng=None)
+
+                scores = jax.lax.map(fwd, ebs)  # [nb, B, C]
+                pred = jnp.argmax(scores, axis=-1)
+                return jnp.sum((pred == labels) * m), scores
+
+            return jax.vmap(one_fold)(params_f, ebatches_f, mask_f, labels_f)
+
         self._epoch_all_folds = _epoch_all_folds
         self._eval_all_folds = _eval_all_folds
+        self._eval_scores_all_folds = _eval_scores_all_folds
         self._opt = opt
         self._eval_stack = None
+        self._val_stack = None
 
     # ---------------------------------------------------------------- epochs
     def _shard(self, tree):
@@ -282,14 +318,14 @@ class TenfoldVmapRunner:
             per_fold.append(_stack_trees(bs))
         return self._shard(_stack_trees(per_fold))
 
-    def _build_eval_stack(self):
-        per_fold, per_mask = [], []
-        counts = []
-        for _, te in self.folds:
-            counts.append(len(te))
-        for builder, (_, te) in zip(self.builders, self.folds):
+    def _build_stack(self, idx_sets):
+        """[F, nb, ...] stacked eval batches for arbitrary per-fold index
+        sets (test folds or carved validation sets)."""
+        per_fold, per_mask, counts = [], [], []
+        for builder, idx in zip(self.builders, idx_sets):
+            counts.append(len(idx))
             batches, masks = [], []
-            for batch, n_real in builder.eval_batches(te):
+            for batch, n_real in builder.eval_batches(idx):
                 batches.append(batch)
                 m = np.zeros(batch.labels.shape[0], np.float32)
                 m[:n_real] = 1.0
@@ -305,12 +341,15 @@ class TenfoldVmapRunner:
         stacked = _stack_trees([_stack_trees(b) for b in per_fold])
         labels = np.asarray(stacked.labels)  # [F, nb, B]
         mask = np.stack([np.stack(m) for m in per_mask])  # [F, nb, B]
-        self._eval_stack = (
+        return (
             self._shard(stacked),
             self._shard(mask),
             self._shard(labels),
             np.asarray(counts),
         )
+
+    def _build_eval_stack(self):
+        self._eval_stack = self._build_stack([te for _, te in self.folds])
 
     def train_epoch(self) -> np.ndarray:
         """One vmapped epoch across all folds; returns per-fold epoch loss."""
@@ -344,6 +383,37 @@ class TenfoldVmapRunner:
             self._eval_all_folds(self.params, stacked, mask, labels)
         )
         return correct / counts
+
+    def evaluate_val(self) -> np.ndarray:
+        """Per-fold accuracy on the carved validation sets
+        (requires ``val_fraction > 0``)."""
+        assert self.val_sets is not None, "construct with val_fraction > 0"
+        if self._val_stack is None:
+            self._val_stack = self._build_stack(self.val_sets)
+        stacked, mask, labels, counts = self._val_stack
+        correct = np.asarray(
+            self._eval_all_folds(self.params, stacked, mask, labels)
+        )
+        return correct / counts
+
+    def evaluate_scores(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(per-fold test accuracy [F], raw test scores [F, nb, B, C]) —
+        the scores feed cross-seed ensembling (scripts/ptc_protocol.py)."""
+        if self._eval_stack is None:
+            self._build_eval_stack()
+        stacked, mask, labels, counts = self._eval_stack
+        correct, scores = self._eval_scores_all_folds(
+            self.params, stacked, mask, labels
+        )
+        return np.asarray(correct) / counts, np.asarray(scores)
+
+    def test_label_mask(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(labels [F, nb, B], mask [F, nb, B], counts [F]) of the test
+        stack, for host-side ensembled-score accuracy."""
+        if self._eval_stack is None:
+            self._build_eval_stack()
+        _, mask, labels, counts = self._eval_stack
+        return np.asarray(labels), np.asarray(mask), counts
 
     def run(self, log_fn=print) -> Tuple[np.ndarray, float, float]:
         """Full CV: returns (per-fold best accuracies, mean, std)."""

@@ -10,10 +10,18 @@ runs/tenfold_all (RESULTS.md).  Parity bar: |Δmean| ≤ 0.04 (the round-2
 threshold, ≈2 test graphs on MUTAG).
 
 Writes runs/hybrid_parity_r3.json.  Run on the real chip.
+
+**This is the re-runnable accuracy gate for kernel changes** (VERDICT r3
+item 9): it exits nonzero when any dataset's |gap| exceeds the fold-noise
+threshold, so future Pallas work can't silently break accuracy:
+
+    python scripts/hybrid_cv_parity.py --datasets MUTAG   # quick gate
+    python scripts/hybrid_cv_parity.py                    # full gate
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -49,8 +57,15 @@ def xla_reference(name):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="*", default=list(CONFIGS),
+                    choices=list(CONFIGS))
+    ap.add_argument("--threshold", type=float, default=0.04,
+                    help="|mean gap| gate (~2 MUTAG test graphs)")
+    args = ap.parse_args()
     out = {}
-    for name, c in CONFIGS.items():
+    for name in args.datasets:
+        c = CONFIGS[name]
         ds = load_tu_dataset(name)
         cfg = ExperimentConfig(
             data=DataConfig(batch_size=c["batch"], num_neighbors=c["K"]),
@@ -75,7 +90,7 @@ def main():
             "xla_f32": ({"mean": ref["mean"], "std": ref["std"]}
                         if ref else None),
             "abs_gap": gap,
-            "within_fold_noise": (gap is not None and gap <= 0.04),
+            "within_fold_noise": (gap is not None and gap <= args.threshold),
             "config": c,
             "seconds": dt,
         }
@@ -83,9 +98,21 @@ def main():
               + (f" vs xla {ref['mean']:.4f} (gap {gap:.4f})" if ref else ""),
               flush=True)
     os.makedirs("runs", exist_ok=True)
-    with open("runs/hybrid_parity_r3.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote runs/hybrid_parity_r3.json")
+    # merge so a partial --datasets gate doesn't drop previous rows
+    path = "runs/hybrid_parity_r3.json"
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    prev.update(out)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
+    print(f"wrote {path}")
+    failed = [n for n, r in out.items() if not r["within_fold_noise"]]
+    if failed:
+        print(f"PARITY GATE FAILED: {failed} exceed |gap| {args.threshold}")
+        sys.exit(1)
+    print("parity gate: PASS")
 
 
 if __name__ == "__main__":
