@@ -101,6 +101,11 @@ class ModelConfig:
     # the per-layer kernels remain the fast path until the fused backward
     # wins (see runs/mega_kernel_probe notes in BASELINE.md).
     use_pallas_whole_encoder: bool = False
+    # Fully-fused sample+gather+encode (ops/pallas_sampled_encoder.py):
+    # skips the separate sampler kernel AND the feature gather when the
+    # dataset's features are one-hot tags (TU/REDDIT regime).  Requires
+    # use_pallas_whole_encoder, single hidden layer, basic recurrence.
+    use_fused_sampler: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

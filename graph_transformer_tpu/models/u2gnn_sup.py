@@ -97,6 +97,7 @@ class U2GNNSup:
         neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
         neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
         num_total_nodes: Optional[int] = None,  # dataset size (fast path)
+        sampled_inputs: Optional[tuple] = None,  # (tag_rows, deg, self_tag)
     ) -> jax.Array:
         """Return prediction scores [B, C] (``(scores, ponder)`` when
         ``return_ponder`` — the summed ACT ponder cost over U2GNN layers,
@@ -105,6 +106,39 @@ class U2GNNSup:
         act_loss, ``universal_transformer_modified.py:343``)."""
         cfg = self.cfg
         B = batch.num_graphs
+        if sampled_inputs is not None:
+            # Fully-fused sample+gather+encode (one-hot datasets): the
+            # kernel samples neighborhoods and builds the one-hot features
+            # in VMEM — nothing to gather here.  Single-layer stacks only
+            # (the kernel emits no neighbor ids to re-gather through).
+            from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                fused_u2gnn_encoder_sampled,
+            )
+
+            assert len(params.encoders) == 1 and rng is not None
+            assert cfg.recurrence == "basic" and cfg.num_heads == 1
+            enc = params.encoders[0]
+            rng, r_enc, r_drop = jax.random.split(rng, 3)
+            seed = jax.random.randint(r_enc, (1,), 0, 2**31 - 1, jnp.int32)
+            stacked = (
+                enc.w_in, enc.b_in, enc.w_out, enc.b_out,
+                enc.ln1_scale, enc.ln1_bias,
+                enc.w_ff1, enc.b_ff1, enc.w_ff2, enc.b_ff2,
+                enc.ln2_scale, enc.ln2_bias,
+            )
+            tag_rows, degb, self_tag = sampled_inputs
+            out = fused_u2gnn_encoder_sampled(
+                tag_rows, degb, self_tag, stacked, seed,
+                batch.neigh.shape[1], cfg.num_timesteps, 0.5,
+            )  # [N_pad, D] f32
+            pooled = graph_sum_pool(
+                out * batch.node_mask[:, None], batch.graph_id, B
+            )
+            pooled = _dropout(pooled, cfg.dropout, r_drop)
+            scores = pooled @ params.head_w[0] + params.head_b[0]
+            if return_ponder:
+                return scores, jnp.zeros(())
+            return scores
         if neigh_feat is None:
             x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
             neigh_feat = x[batch.neigh]  # [N_pad, K+1, D]

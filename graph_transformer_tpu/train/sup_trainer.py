@@ -76,6 +76,7 @@ class SupTrainer:
         # (ops.sparse.global_regather) since the fast sampler emits global,
         # not batch-local, neighbor ids.
         self.nbr_table = None
+        self._tag_table = None
         if (
             cfg.train.on_device_sampling
             and jax.default_backend() == "tpu"
@@ -87,6 +88,27 @@ class SupTrainer:
                 self._x_global = jnp.asarray(
                     ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
                 )
+                # Fully-fused sample+gather+encode (one kernel, one-hot
+                # datasets only — ops/pallas_sampled_encoder.py)
+                if (
+                    cfg.model.use_fused_sampler
+                    and cfg.model.use_pallas
+                    and cfg.model.use_pallas_whole_encoder
+                    and cfg.model.num_hidden_layers == 1
+                    and cfg.model.recurrence == "basic"
+                    and cfg.model.num_heads == 1
+                ):
+                    from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                        build_tag_table,
+                        dataset_tags,
+                    )
+
+                    tags = dataset_tags(ds.node_feat)
+                    if tags is not None:
+                        self._tag_table = jnp.asarray(
+                            build_tag_table(tb, tags)
+                        )
+                        self._tags_dev = jnp.asarray(tags)
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -114,8 +136,21 @@ class SupTrainer:
         opt = self.opt
 
 
+        fused_sampling = self._tag_table is not None
+        tag_table = self._tag_table
+        tags_dev = getattr(self, "_tags_dev", None)
+
         def _fast_rows(b):
             return nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None]
+
+        def _fused_si(b):
+            """(tag_rows, deg, self_tag) for the fused sampled encoder —
+            one row gather per step, same cost class as _fast_rows."""
+            return (
+                tag_table[b.node_gidx],
+                deg_dev[b.node_gidx][:, None],
+                tags_dev[b.node_gidx][:, None],
+            )
 
         def _resample(b, k_samp, csr, fr=None):
             """Fresh neighborhoods for one step: returns
@@ -144,12 +179,18 @@ class SupTrainer:
 
 
             k_samp, k_drop = jax.random.split(key)
-            batch, nf, ng = _resample(batch, k_samp, csr)
+            if fused_sampling:
+                nf = ng = None
+                si = _fused_si(batch)
+            else:
+                batch, nf, ng = _resample(batch, k_samp, csr)
+                si = None
 
             def loss_fn(p):
                 scores, ponder = model.apply(
                     p, batch, rng=k_drop, return_ponder=True, neigh_feat=nf,
                     neigh_global=ng, num_total_nodes=total_nodes,
+                    sampled_inputs=si,
                 )
                 targets = label_smoothing(batch.labels, num_classes, smoothing)
                 # t2t act_loss (only nonzero for recurrence == "act")
@@ -173,18 +214,23 @@ class SupTrainer:
 
 
             # batch is fixed across the scan: its table rows gather ONCE
-            fr = _fast_rows(batch) if (on_dev and fast) else None
+            fr = _fast_rows(batch) if (on_dev and fast and not fused_sampling) else None
+            si = _fused_si(batch) if (on_dev and fused_sampling) else None
 
             def body(carry, i):
                 p, s = carry
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                b, nf, ng = _resample(batch, k_samp, csr, fr)
+                if si is not None:
+                    b, nf, ng = batch, None, None
+                else:
+                    b, nf, ng = _resample(batch, k_samp, csr, fr)
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
                         pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf,
                         neigh_global=ng, num_total_nodes=total_nodes,
+                        sampled_inputs=si,
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder
@@ -212,12 +258,18 @@ class SupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                b, nf, ng = _resample(b, k_samp, csr)
+                if fused_sampling:
+                    nf = ng = None
+                    si = _fused_si(b)
+                else:
+                    b, nf, ng = _resample(b, k_samp, csr)
+                    si = None
 
                 def loss_fn(pp):
                     scores, ponder = model.apply(
                         pp, b, rng=k_drop, return_ponder=True, neigh_feat=nf,
                         neigh_global=ng, num_total_nodes=total_nodes,
+                        sampled_inputs=si,
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets) + act_w * ponder
