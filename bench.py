@@ -71,6 +71,9 @@ def main():
             # shapes (scripts/bench_hybrid.py)
             use_pallas_whole_encoder=os.environ.get("GT_WHOLE_ENC", "1")
             == "1",
+            # fully-fused sample+gather+encode (round-4;
+            # scripts/bench_fused_sampler.py A/B)
+            use_fused_sampler=os.environ.get("GT_FUSED_SAMPLER", "0") == "1",
         ),
         train=TrainConfig(num_epochs=1),
     )

@@ -65,6 +65,35 @@ def main():
     )
     w = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
 
+    # ---- deterministic parity gate (degree-1 tables => sampling is
+    # deterministic) before any timing
+    det_n, det_S, det_T, det_F = 64, 5, 2, 32
+    det_tags = rng.integers(0, D, det_n).astype(np.int32)
+    det_nbr = rng.integers(0, det_n, det_n).astype(np.int32)
+    det_params = tuple(
+        jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+        for s in [(det_T, D, 3 * D), (det_T, 3 * D), (det_T, D, D),
+                  (det_T, D), (det_T, D), (det_T, D), (det_T, D, det_F),
+                  (det_T, det_F), (det_T, det_F, D), (det_T, D),
+                  (det_T, D), (det_T, D)]
+    )
+    got = fused_u2gnn_encoder_sampled(
+        jnp.asarray(np.tile(det_tags[det_nbr][:, None], (1, 128))),
+        jnp.ones((det_n, 1), jnp.int32),
+        jnp.asarray(det_tags[:, None]),
+        det_params, jnp.asarray([11], jnp.int32), det_S, det_T, 0.0,
+    )
+    det_neigh_tags = np.concatenate(
+        [det_tags[:, None],
+         np.tile(det_tags[det_nbr][:, None], (1, det_S - 1))], axis=1)
+    det_x = np.eye(D, dtype=np.float32)[det_neigh_tags.reshape(-1)]
+    want = fused_u2gnn_encoder(
+        jnp.asarray(det_x, jnp.bfloat16), det_params, None, det_S, det_T, 0.0
+    )
+    gap = float(jnp.abs(got - want).max())
+    print(f"deterministic parity gate: max|delta| = {gap:.2e}", flush=True)
+    assert gap < 5e-2, "fused sampled encoder parity FAILED"
+
     def seed_of(key):
         return jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
 
