@@ -30,6 +30,16 @@ def main(argv=None):
         help="'tf' = tf.nn.sampled_softmax_loss semantics; 'reference' = the "
              "PyTorch fork's NCE variant",
     )
+    parser.add_argument(
+        "--permute_graphs", type=int, default=None, metavar="SEED",
+        help="leak-free protocol: shuffle the dataset's graph order with "
+             "this seed before training.  The TU files are class-sorted, so "
+             "the reference's transductive global-id protocol reads the "
+             "label out of node-id statistics — measured on PTC the probe "
+             "drops 0.75 -> 0.49 once the order is shuffled "
+             "(scripts/unsup_leak_control.py).  Omit for file-order "
+             "reference parity.",
+    )
     args = parser.parse_args(argv)
     import dataclasses as _dc
 
@@ -46,6 +56,12 @@ def main(argv=None):
         cfg.data.dataset, cfg.data.degree_as_tag, cfg.data.data_dir,
         use_node_attributes=cfg.data.use_node_attributes,
     )
+    if args.permute_graphs is not None:
+        from graph_transformer_tpu.data.tu import permute_graphs
+
+        ds = permute_graphs(ds, seed=args.permute_graphs)
+        print(f"# leak-free protocol: graph order permuted (seed "
+              f"{args.permute_graphs})")
     print(f"# data: {ds.num_graphs} graphs, {ds.num_nodes} nodes (vocab), "
           f"{ds.num_classes} classes")
     trainer = UnsupTrainer(ds, cfg)
