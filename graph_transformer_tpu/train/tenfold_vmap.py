@@ -215,8 +215,36 @@ class TenfoldVmapRunner:
                     self.nbr_table = jax.device_put(self.nbr_table, rep)
                     self._deg_dev = jax.device_put(self._deg_dev, rep)
                     self._x_global = jax.device_put(self._x_global, rep)
+        # Fully-fused sample+gather+encode (same gate as SupTrainer)
+        self._tag_table = None
+        if (
+            self.nbr_table is not None
+            and cfg.model.use_fused_sampler
+            and cfg.model.use_pallas
+            and cfg.model.use_pallas_whole_encoder
+            and cfg.model.num_hidden_layers == 1
+            and cfg.model.recurrence == "basic"
+            and cfg.model.num_heads == 1
+        ):
+            from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                build_tag_table,
+                dataset_tags,
+            )
+
+            tags_np = dataset_tags(ds.node_feat)
+            if tags_np is not None:
+                tb = np.asarray(self.nbr_table)
+                self._tag_table = jnp.asarray(build_tag_table(tb, tags_np))
+                self._tags_dev = jnp.asarray(tags_np)
+                if mesh is not None:
+                    rep = self._rep_sharding
+                    self._tag_table = jax.device_put(self._tag_table, rep)
+                    self._tags_dev = jax.device_put(self._tags_dev, rep)
         fast = self.nbr_table is not None
+        fused_sampling = self._tag_table is not None
         nbr_table = self.nbr_table
+        tag_table = self._tag_table
+        tags_dev = getattr(self, "_tags_dev", None)
         deg_dev = getattr(self, "_deg_dev", None)
         x_global = getattr(self, "_x_global", None)
 
@@ -229,8 +257,14 @@ class TenfoldVmapRunner:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_drop = jax.random.split(step_key)
-                nf = ng = None
-                if on_dev and fast:
+                nf = ng = si = None
+                if fused_sampling:
+                    si = (
+                        tag_table[b.node_gidx],
+                        deg_dev[b.node_gidx][:, None],
+                        tags_dev[b.node_gidx][:, None],
+                    )
+                elif on_dev and fast:
                     seed = jax.random.randint(
                         k_samp, (1,), 0, 2**31 - 1, jnp.int32
                     )
@@ -249,6 +283,7 @@ class TenfoldVmapRunner:
                     scores = model.apply(
                         pp, b, rng=k_drop, neigh_feat=nf,
                         neigh_global=ng, num_total_nodes=total_nodes,
+                        sampled_inputs=si,
                     )
                     targets = label_smoothing(b.labels, num_classes, smoothing)
                     return soft_cross_entropy(scores, targets)

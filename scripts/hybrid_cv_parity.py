@@ -62,6 +62,10 @@ def main():
                     choices=list(CONFIGS))
     ap.add_argument("--threshold", type=float, default=0.04,
                     help="|mean gap| gate (~2 MUTAG test graphs)")
+    ap.add_argument("--fused_sampler", action="store_true",
+                    help="gate the fully-fused sample+gather+encode path "
+                         "(use_fused_sampler=True; artifact keys get a "
+                         "'+fused' suffix)")
     args = ap.parse_args()
     out = {}
     for name in args.datasets:
@@ -73,6 +77,7 @@ def main():
                 num_timesteps=c["T"], num_hidden_layers=1,
                 ff_hidden_size=1024, use_pallas=True,
                 use_pallas_whole_encoder=True,
+                use_fused_sampler=args.fused_sampler,
                 compute_dtype="bfloat16",
             ),
             train=TrainConfig(num_epochs=c["epochs"], learning_rate=5e-4),
@@ -85,7 +90,8 @@ def main():
         dt = time.time() - t0
         ref = xla_reference(name)
         gap = abs(mean - ref["mean"]) if ref else None
-        out[name] = {
+        out_key = name + ("+fused" if args.fused_sampler else "")
+        out[out_key] = {
             "hybrid_bf16": {"mean": mean, "std": std, "folds": best.tolist()},
             "xla_f32": ({"mean": ref["mean"], "std": ref["std"]}
                         if ref else None),
@@ -94,7 +100,7 @@ def main():
             "config": c,
             "seconds": dt,
         }
-        print(f"{name}: hybrid {mean:.4f}±{std:.4f}"
+        print(f"{out_key}: hybrid {mean:.4f}±{std:.4f}"
               + (f" vs xla {ref['mean']:.4f} (gap {gap:.4f})" if ref else ""),
               flush=True)
     os.makedirs("runs", exist_ok=True)
