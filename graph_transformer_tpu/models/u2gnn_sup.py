@@ -126,9 +126,9 @@ class U2GNNSup:
                 enc.w_ff1, enc.b_ff1, enc.w_ff2, enc.b_ff2,
                 enc.ln2_scale, enc.ln2_bias,
             )
-            tag_rows, degb, self_tag = sampled_inputs
+            tag_rows, degb, self_tag, codebook = sampled_inputs
             out = fused_u2gnn_encoder_sampled(
-                tag_rows, degb, self_tag, stacked, seed,
+                tag_rows, degb, self_tag, codebook, stacked, seed,
                 batch.neigh.shape[1], cfg.num_timesteps, 0.5,
             )  # [N_pad, D] f32
             pooled = graph_sum_pool(

@@ -80,6 +80,24 @@ def dataset_tags(node_feat: np.ndarray) -> np.ndarray | None:
     return f.argmax(axis=1).astype(np.int32)
 
 
+def dataset_codebook(
+    node_feat: np.ndarray, max_codes: int = 64
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(tags [N] i32, codebook [n_codes, D] f32) when the feature rows take
+    at most ``max_codes`` distinct values — covers one-hot tag datasets
+    (TU), the REDDIT ×0.01 constant rule (1 code), and degree-one-hots.
+    The kernel reconstructs features as ``onehot(tag) @ codebook``.
+    None when features are genuinely continuous (fused path not applicable).
+    """
+    f = np.asarray(node_feat, np.float32)
+    if f.ndim != 2:
+        return None
+    codes, tags = np.unique(f, axis=0, return_inverse=True)
+    if codes.shape[0] > max_codes:
+        return None
+    return tags.astype(np.int32), codes.astype(np.float32)
+
+
 def build_tag_table(
     neighbor_table: np.ndarray, tags: np.ndarray
 ) -> np.ndarray:
@@ -90,7 +108,7 @@ def build_tag_table(
 
 
 def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
-                        *refs, S, D, rate, T, stored):
+                        code_ref, *refs, S, D, rate, T, stored):
     param_refs = refs[:12]
     out_ref = refs[12]
     x0_ref = refs[13]
@@ -108,13 +126,15 @@ def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
     idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
     tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
 
-    # ---- build the one-hot [R, D] layer-0 input in VMEM
+    # ---- build the [R, D] layer-0 input in VMEM: onehot(tag) @ codebook
     all_tags = jnp.concatenate(
         [self_tag_ref[:], tags[:, : S - 1]], axis=1
     )  # [G, S]
     row_tags = all_tags.reshape(G * S, 1)
-    x = (row_tags == jax.lax.broadcasted_iota(
-        jnp.int32, (G * S, D), 1)).astype(jnp.float32)
+    n_codes = code_ref.shape[0]
+    onehot = (row_tags == jax.lax.broadcasted_iota(
+        jnp.int32, (G * S, n_codes), 1)).astype(jnp.float32)
+    x = jnp.dot(onehot, code_ref[:], preferred_element_type=jnp.float32)
     x0_ref[:] = x.astype(x0_ref.dtype)
 
     # ---- T-layer mega forward (same body as _fwd_kernel)
@@ -133,8 +153,8 @@ def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
     out_ref[:] = h.astype(out_ref.dtype)
 
 
-def _sampled_fwd_call(tag_rows, deg, self_tag, params, seed, S, T, rate,
-                      tile_target, x_dtype, interpret):
+def _sampled_fwd_call(tag_rows, deg, self_tag, codebook, params, seed, S, T,
+                      rate, tile_target, x_dtype, interpret):
     stored = params[0].shape[0]
     D = params[0].shape[1]
     F = params[6].shape[2]
@@ -167,56 +187,65 @@ def _sampled_fwd_call(tag_rows, deg, self_tag, params, seed, S, T, rate,
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
                   pl.BlockSpec((G, TABLE_WIDTH), lambda i: (i, 0)),
                   pl.BlockSpec((G, 1), lambda i: (i, 0)),
-                  pl.BlockSpec((G, 1), lambda i: (i, 0))] + param_specs,
+                  pl.BlockSpec((G, 1), lambda i: (i, 0)),
+                  _full_spec2(codebook.shape)] + param_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(_seed_arr(seed), tag_rows, deg, self_tag, *params)
+    )(_seed_arr(seed), tag_rows, deg, self_tag, codebook, *params)
     out, x0, saved = outs[0], outs[1], outs[2:]
     return out[:n], x0, tuple(saved)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def fused_u2gnn_encoder_sampled(tag_rows, deg, self_tag, params, seed,
-                                seq_len: int, num_timesteps: int,
+def _full_spec2(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_u2gnn_encoder_sampled(tag_rows, deg, self_tag, codebook, params,
+                                seed, seq_len: int, num_timesteps: int,
                                 rate: float = 0.0, tile_target: int = 512,
                                 interpret: bool = False,
                                 mega_bwd: bool = False):
-    """Sample + build one-hot features + T-layer encoder in one kernel.
+    """Sample + build codebook features + T-layer encoder in one kernel.
 
     ``tag_rows`` [N, 128] i32 (``build_tag_table``), ``deg`` [N, 1] i32,
-    ``self_tag`` [N, 1] i32, ``params`` the 12 stacked arrays of
-    ``fused_u2gnn_encoder``, ``seed`` int32 (REQUIRED: drives both the
-    neighbor sampling and dropout).  Returns slot-0 rows [N, D] f32.
+    ``self_tag`` [N, 1] i32, ``codebook`` [n_codes, D] f32
+    (``dataset_codebook``; features reconstruct as onehot(tag)@codebook),
+    ``params`` the 12 stacked arrays of ``fused_u2gnn_encoder``, ``seed``
+    int32 (REQUIRED: drives both the neighbor sampling and dropout).
+    Returns slot-0 rows [N, D] f32.
     """
     out, _, _ = _sampled_fwd_call(
-        tag_rows, deg, self_tag, params, seed, seq_len, num_timesteps,
-        rate, tile_target, jnp.bfloat16, interpret,
+        tag_rows, deg, self_tag, codebook, params, seed, seq_len,
+        num_timesteps, rate, tile_target, jnp.bfloat16, interpret,
     )
     return out
 
 
-def _sampled_fwd_rule(tag_rows, deg, self_tag, params, seed, S, T, rate,
-                      tile_target, interpret, mega_bwd):
+def _sampled_fwd_rule(tag_rows, deg, self_tag, codebook, params, seed, S, T,
+                      rate, tile_target, interpret, mega_bwd):
     out, x0, saved = _sampled_fwd_call(
-        tag_rows, deg, self_tag, params, seed, S, T, rate, tile_target,
-        jnp.bfloat16, interpret,
+        tag_rows, deg, self_tag, codebook, params, seed, S, T, rate,
+        tile_target, jnp.bfloat16, interpret,
     )
     shapes = (tag_rows.shape, deg.shape, self_tag.shape)
-    return out, (x0, params, seed, saved, shapes)
+    return out, (x0, params, seed, saved, shapes, codebook.shape)
 
 
 def _sampled_bwd_rule(S, T, rate, tile_target, interpret, mega_bwd, res,
                       dout):
-    x0, params, seed, saved, shapes = res
+    x0, params, seed, saved, shapes, code_shape = res
     rule = _bwd_rule_mega if mega_bwd else _bwd_rule_hybrid
     # x0 is already tile-padded; the hybrid rule re-pads (no-op) and
     # returns (dx, dparams, dseed) — dx is discarded (inputs are data;
-    # the int inputs take float0 zero cotangents).
+    # the int inputs take float0 zero cotangents, the codebook a zero
+    # cotangent: it is dataset constants, not trainable).
     _, dparams, _ = rule(S, T, rate, tile_target, interpret,
                          (x0, params, seed, saved), dout)
     ct_int = lambda s: np.zeros(s, jax.dtypes.float0)
     return (ct_int(shapes[0]), ct_int(shapes[1]), ct_int(shapes[2]),
+            jnp.zeros(code_shape, jnp.float32),
             dparams, np.zeros(np.shape(seed), jax.dtypes.float0))
 
 

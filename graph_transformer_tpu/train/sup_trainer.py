@@ -100,15 +100,17 @@ class SupTrainer:
                 ):
                     from graph_transformer_tpu.ops.pallas_sampled_encoder import (
                         build_tag_table,
-                        dataset_tags,
+                        dataset_codebook,
                     )
 
-                    tags = dataset_tags(ds.node_feat)
-                    if tags is not None:
+                    cb = dataset_codebook(ds.node_feat)
+                    if cb is not None:
+                        tags, codebook = cb
                         self._tag_table = jnp.asarray(
                             build_tag_table(tb, tags)
                         )
                         self._tags_dev = jnp.asarray(tags)
+                        self._codebook = jnp.asarray(codebook)
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -139,17 +141,20 @@ class SupTrainer:
         fused_sampling = self._tag_table is not None
         tag_table = self._tag_table
         tags_dev = getattr(self, "_tags_dev", None)
+        codebook = getattr(self, "_codebook", None)
 
         def _fast_rows(b):
             return nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None]
 
         def _fused_si(b):
-            """(tag_rows, deg, self_tag) for the fused sampled encoder —
-            one row gather per step, same cost class as _fast_rows."""
+            """(tag_rows, deg, self_tag, codebook) for the fused sampled
+            encoder — one row gather per step, same cost class as
+            _fast_rows."""
             return (
                 tag_table[b.node_gidx],
                 deg_dev[b.node_gidx][:, None],
                 tags_dev[b.node_gidx][:, None],
+                codebook,
             )
 
         def _resample(b, k_samp, csr, fr=None):

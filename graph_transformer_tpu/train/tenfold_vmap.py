@@ -228,23 +228,27 @@ class TenfoldVmapRunner:
         ):
             from graph_transformer_tpu.ops.pallas_sampled_encoder import (
                 build_tag_table,
-                dataset_tags,
+                dataset_codebook,
             )
 
-            tags_np = dataset_tags(ds.node_feat)
-            if tags_np is not None:
+            cb = dataset_codebook(ds.node_feat)
+            if cb is not None:
+                tags_np, codebook_np = cb
                 tb = np.asarray(self.nbr_table)
                 self._tag_table = jnp.asarray(build_tag_table(tb, tags_np))
                 self._tags_dev = jnp.asarray(tags_np)
+                self._codebook = jnp.asarray(codebook_np)
                 if mesh is not None:
                     rep = self._rep_sharding
                     self._tag_table = jax.device_put(self._tag_table, rep)
                     self._tags_dev = jax.device_put(self._tags_dev, rep)
+                    self._codebook = jax.device_put(self._codebook, rep)
         fast = self.nbr_table is not None
         fused_sampling = self._tag_table is not None
         nbr_table = self.nbr_table
         tag_table = self._tag_table
         tags_dev = getattr(self, "_tags_dev", None)
+        codebook = getattr(self, "_codebook", None)
         deg_dev = getattr(self, "_deg_dev", None)
         x_global = getattr(self, "_x_global", None)
 
@@ -263,6 +267,7 @@ class TenfoldVmapRunner:
                         tag_table[b.node_gidx],
                         deg_dev[b.node_gidx][:, None],
                         tags_dev[b.node_gidx][:, None],
+                        codebook,
                     )
                 elif on_dev and fast:
                     seed = jax.random.randint(

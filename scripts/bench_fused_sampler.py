@@ -31,7 +31,7 @@ def main():
     from graph_transformer_tpu.data.tu import synthetic_powerlaw_dataset
     from graph_transformer_tpu.ops.pallas_sampled_encoder import (
         build_tag_table,
-        dataset_tags,
+        dataset_codebook,
         fused_u2gnn_encoder_sampled,
     )
     from graph_transformer_tpu.ops.pallas_u2gnn import fused_u2gnn_encoder
@@ -43,8 +43,10 @@ def main():
     ds = synthetic_powerlaw_dataset(
         "REDDITMULTI5K-like", num_graphs=64, mean_nodes=509, seed=0
     )
-    tags = dataset_tags(ds.node_feat)
-    assert tags is not None, "bench dataset must be one-hot"
+    cb = dataset_codebook(ds.node_feat)
+    assert cb is not None, "bench dataset features must be codebook-able"
+    tags, codebook_np = cb
+    codebook = jnp.asarray(codebook_np)
     table = build_neighbor_table(ds)
     assert table is not None
 
@@ -81,6 +83,7 @@ def main():
         jnp.asarray(np.tile(det_tags[det_nbr][:, None], (1, 128))),
         jnp.ones((det_n, 1), jnp.int32),
         jnp.asarray(det_tags[:, None]),
+        jnp.eye(D, dtype=jnp.float32),
         det_params, jnp.asarray([11], jnp.int32), det_S, det_T, 0.0,
     )
     det_neigh_tags = np.concatenate(
@@ -110,7 +113,7 @@ def main():
 
     def loss_b(p, key):
         out = fused_u2gnn_encoder_sampled(
-            tag_rows, degb, self_tag, p, seed_of(key), S, T, RATE
+            tag_rows, degb, self_tag, codebook, p, seed_of(key), S, T, RATE
         )
         return jnp.sum(out * w)
 
@@ -148,8 +151,8 @@ def main():
             jnp.asarray([3], jnp.int32), rows, degb, gidx_dev, S - 1
         )].reshape(N * S, D), params, None, S, T, 0.0)
     ob = fused_u2gnn_encoder_sampled(
-        tag_rows, degb, self_tag, params, jnp.asarray([3], jnp.int32),
-        S, T, 0.0)
+        tag_rows, degb, self_tag, codebook, params,
+        jnp.asarray([3], jnp.int32), S, T, 0.0)
     results["fwd_mean_abs_a"] = float(jnp.mean(jnp.abs(oa)))
     results["fwd_mean_abs_b"] = float(jnp.mean(jnp.abs(ob)))
     results["delta_ms"] = results["two_pass"] - results["fused_sampled"]

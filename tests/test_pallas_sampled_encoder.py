@@ -13,6 +13,7 @@ import pytest
 from graph_transformer_tpu.ops.pallas_ffn import on_tpu
 from graph_transformer_tpu.ops.pallas_sampled_encoder import (
     build_tag_table,
+    dataset_codebook,
     dataset_tags,
 )
 
@@ -24,6 +25,21 @@ def test_dataset_tags_gate():
     assert dataset_tags(onehot + onehot[:, ::-1]) is None  # not one-hot
     wide = np.eye(200, dtype=np.float32)[:5]
     assert dataset_tags(wide) is None  # > lane width
+
+
+def test_dataset_codebook():
+    # one-hot: codes are the identity rows
+    onehot = np.eye(4, dtype=np.float32)[[0, 2, 1, 3, 3]]
+    tags, codes = dataset_codebook(onehot)
+    np.testing.assert_allclose(codes[tags], onehot)
+    # the REDDIT x0.01 constant rule: one code
+    const = np.full((100, 4), 0.01, np.float32)
+    tags, codes = dataset_codebook(const)
+    assert codes.shape == (1, 4) and (tags == 0).all()
+    np.testing.assert_allclose(codes[tags], const)
+    # genuinely continuous features: not applicable
+    cont = np.random.default_rng(0).standard_normal((100, 4)).astype(np.float32)
+    assert dataset_codebook(cont) is None
 
 
 def test_build_tag_table():
@@ -59,7 +75,8 @@ def test_sampled_encoder_matches_two_pass_deterministic():
     )
     seed = jnp.asarray([11], jnp.int32)
     got = fused_u2gnn_encoder_sampled(
-        tag_rows, deg, self_tag, params, seed, S, T, 0.0
+        tag_rows, deg, self_tag, jnp.eye(D, dtype=jnp.float32), params,
+        seed, S, T, 0.0
     )
     # reference: gather the (deterministic) neighborhood one-hots by hand
     neigh_tags = np.concatenate(
@@ -97,7 +114,8 @@ def test_sampled_encoder_grads_match_two_pass_deterministic():
     seed = jnp.asarray([5], jnp.int32)
 
     g_fused = jax.grad(lambda p: jnp.sum(
-        fused_u2gnn_encoder_sampled(tag_rows, deg, self_tag, p, seed,
+        fused_u2gnn_encoder_sampled(tag_rows, deg, self_tag,
+                                    jnp.eye(D, dtype=jnp.float32), p, seed,
                                     S, T, 0.0) * w))(params)
     neigh_tags = np.concatenate(
         [tags[:, None], np.tile(tags[nbr][:, None], (1, S - 1))], axis=1
