@@ -126,14 +126,19 @@ def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
     idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
     tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
 
-    # ---- build the [R, D] layer-0 input in VMEM: onehot(tag) @ codebook
+    # ---- build the [R, D] layer-0 input in VMEM: onehot(tag) @ codebook.
+    # The one-hot is built in [G, S, n_codes] and collapsed over the
+    # leading dims (last dim intact — the only reshape Mosaic's vector
+    # layout supports here; a [G, S] -> [G*S, 1] cast is rejected).
     all_tags = jnp.concatenate(
         [self_tag_ref[:], tags[:, : S - 1]], axis=1
     )  # [G, S]
-    row_tags = all_tags.reshape(G * S, 1)
     n_codes = code_ref.shape[0]
-    onehot = (row_tags == jax.lax.broadcasted_iota(
-        jnp.int32, (G * S, n_codes), 1)).astype(jnp.float32)
+    onehot3 = (
+        all_tags[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (G, S, n_codes), 2)
+    ).astype(jnp.float32)
+    onehot = onehot3.reshape(G * S, n_codes)
     x = jnp.dot(onehot, code_ref[:], preferred_element_type=jnp.float32)
     x0_ref[:] = x.astype(x0_ref.dtype)
 
