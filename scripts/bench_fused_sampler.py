@@ -122,8 +122,9 @@ def main():
         def run(p, key):
             def body(c, i):
                 g = jax.grad(loss)(p, jax.random.fold_in(key, i))
-                acc = jax.tree_util.tree_map(
-                    lambda a, b: a + jnp.sum(jnp.abs(b)), c, g
+                acc = c + sum(
+                    jnp.sum(jnp.abs(x))
+                    for x in jax.tree_util.tree_leaves(g)
                 )
                 return acc, 0.0
             acc, _ = jax.lax.scan(
