@@ -97,7 +97,8 @@ class U2GNNSup:
         neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
         neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
         num_total_nodes: Optional[int] = None,  # dataset size (fast path)
-        sampled_inputs: Optional[tuple] = None,  # (tag_rows, deg, self_tag)
+        sampled_inputs: Optional[tuple] = None,  # (tag_rows, deg, self_tag,
+        #                                           codebook)
     ) -> jax.Array:
         """Return prediction scores [B, C] (``(scores, ponder)`` when
         ``return_ponder`` — the summed ACT ponder cost over U2GNN layers,
@@ -117,6 +118,9 @@ class U2GNNSup:
 
             assert len(params.encoders) == 1 and rng is not None
             assert cfg.recurrence == "basic" and cfg.num_heads == 1
+            # the kernel implements neighborhood-axis attention only; the
+            # 'node' compat quirk must go through the unfused paths
+            assert cfg.attention_axis == "neighborhood"
             enc = params.encoders[0]
             rng, r_enc, r_drop = jax.random.split(rng, 3)
             seed = jax.random.randint(r_enc, (1,), 0, 2**31 - 1, jnp.int32)

@@ -28,9 +28,10 @@ PRNG stream layout: dropout uses streams ``t·n_tiles + i`` for
 t ∈ [0, T); the sampler takes stream ``T·n_tiles + i`` — disjoint, so the
 backward's per-layer replay is unaffected.
 
-Applicability gate: features one-hot (``tag_table`` buildable) and max
-degree ≤ 128.  TPU-only (on-core PRNG); callers fall back to the
-two-pass path otherwise.
+Applicability gate: feature rows take ≤ 128 distinct values
+(``dataset_codebook`` — one-hot tags, degree one-hots, the REDDIT ×0.01
+constant rule) and max degree ≤ 128.  TPU-only (on-core PRNG); callers
+fall back to the two-pass path otherwise.
 """
 
 from __future__ import annotations
@@ -63,8 +64,10 @@ from graph_transformer_tpu.sampling.pallas_sampler import TABLE_WIDTH
 
 __all__ = [
     "build_tag_table",
-    "fused_u2gnn_encoder_sampled",
+    "dataset_codebook",
     "dataset_tags",
+    "fused_u2gnn_encoder_sampled",
+    "setup_fused_tables",
 ]
 
 
@@ -81,7 +84,7 @@ def dataset_tags(node_feat: np.ndarray) -> np.ndarray | None:
 
 
 def dataset_codebook(
-    node_feat: np.ndarray, max_codes: int = 64
+    node_feat: np.ndarray, max_codes: int = TABLE_WIDTH
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """(tags [N] i32, codebook [n_codes, D] f32) when the feature rows take
     at most ``max_codes`` distinct values — covers one-hot tag datasets
@@ -107,8 +110,32 @@ def build_tag_table(
     return tags[neighbor_table].astype(np.int32)
 
 
+def fused_gate_ok(cfg_model) -> bool:
+    """Static config part of the fused-path gate (shared by SupTrainer and
+    TenfoldVmapRunner; the dataset part is ``setup_fused_tables``)."""
+    return (
+        cfg_model.use_fused_sampler
+        and cfg_model.use_pallas
+        and cfg_model.use_pallas_whole_encoder
+        and cfg_model.num_hidden_layers == 1
+        and cfg_model.recurrence == "basic"
+        and cfg_model.num_heads == 1
+        and cfg_model.attention_axis == "neighborhood"
+    )
+
+
+def setup_fused_tables(node_feat, neighbor_table: np.ndarray):
+    """(tag_table [N,128] i32, tags [N] i32, codebook [C,D] f32) when the
+    dataset's features factor through a ≤128-row codebook; None otherwise."""
+    cb = dataset_codebook(node_feat)
+    if cb is None:
+        return None
+    tags, codebook = cb
+    return build_tag_table(neighbor_table, tags), tags, codebook
+
+
 def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
-                        code_ref, *refs, S, D, rate, T, stored):
+                        code_ref, *refs, S, rate, T, stored):
     param_refs = refs[:12]
     out_ref = refs[12]
     x0_ref = refs[13]
@@ -140,7 +167,13 @@ def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
     ).astype(jnp.float32)
     onehot = onehot3.reshape(G * S, n_codes)
     x = jnp.dot(onehot, code_ref[:], preferred_element_type=jnp.float32)
-    x0_ref[:] = x.astype(x0_ref.dtype)
+    # Round-trip through the saved dtype: the backward replays layer 0
+    # from the bf16-saved x0, and the two-pass path's x_global is stored
+    # bf16 — the forward must consume the SAME rounded values (codebooks
+    # like the REDDIT 0.01 constant are not bf16-exact).
+    x = x.astype(x0_ref.dtype)
+    x0_ref[:] = x
+    x = x.astype(jnp.float32)
 
     # ---- T-layer mega forward (same body as _fwd_kernel)
     mm = jnp.bfloat16 if x0_ref.dtype == jnp.bfloat16 else jnp.float32
@@ -186,7 +219,7 @@ def _sampled_fwd_call(tag_rows, deg, self_tag, codebook, params, seed, S, T,
     ] + [jax.ShapeDtypeStruct((rows_pad, D), x_dtype)
          for _ in range(n_saved)]
     outs = pl.pallas_call(
-        functools.partial(_sampled_fwd_kernel, S=S, D=D, rate=rate, T=T,
+        functools.partial(_sampled_fwd_kernel, S=S, rate=rate, T=T,
                           stored=stored),
         grid=grid,
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),

@@ -88,27 +88,18 @@ class SupTrainer:
                 self._x_global = jnp.asarray(
                     ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
                 )
-                # Fully-fused sample+gather+encode (one kernel, one-hot
-                # datasets only — ops/pallas_sampled_encoder.py)
-                if (
-                    cfg.model.use_fused_sampler
-                    and cfg.model.use_pallas
-                    and cfg.model.use_pallas_whole_encoder
-                    and cfg.model.num_hidden_layers == 1
-                    and cfg.model.recurrence == "basic"
-                    and cfg.model.num_heads == 1
-                ):
-                    from graph_transformer_tpu.ops.pallas_sampled_encoder import (
-                        build_tag_table,
-                        dataset_codebook,
-                    )
+                # Fully-fused sample+gather+encode (one kernel; codebook
+                # feature datasets — ops/pallas_sampled_encoder.py)
+                from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                    fused_gate_ok,
+                    setup_fused_tables,
+                )
 
-                    cb = dataset_codebook(ds.node_feat)
-                    if cb is not None:
-                        tags, codebook = cb
-                        self._tag_table = jnp.asarray(
-                            build_tag_table(tb, tags)
-                        )
+                if fused_gate_ok(cfg.model):
+                    ft = setup_fused_tables(ds.node_feat, tb)
+                    if ft is not None:
+                        tag_tb, tags, codebook = ft
+                        self._tag_table = jnp.asarray(tag_tb)
                         self._tags_dev = jnp.asarray(tags)
                         self._codebook = jnp.asarray(codebook)
         self._key = jax.random.key(cfg.train.seed + 1)

@@ -215,27 +215,19 @@ class TenfoldVmapRunner:
                     self.nbr_table = jax.device_put(self.nbr_table, rep)
                     self._deg_dev = jax.device_put(self._deg_dev, rep)
                     self._x_global = jax.device_put(self._x_global, rep)
-        # Fully-fused sample+gather+encode (same gate as SupTrainer)
+        # Fully-fused sample+gather+encode (shared gate with SupTrainer)
         self._tag_table = None
-        if (
-            self.nbr_table is not None
-            and cfg.model.use_fused_sampler
-            and cfg.model.use_pallas
-            and cfg.model.use_pallas_whole_encoder
-            and cfg.model.num_hidden_layers == 1
-            and cfg.model.recurrence == "basic"
-            and cfg.model.num_heads == 1
-        ):
+        if self.nbr_table is not None:
             from graph_transformer_tpu.ops.pallas_sampled_encoder import (
-                build_tag_table,
-                dataset_codebook,
+                fused_gate_ok,
+                setup_fused_tables,
             )
 
-            cb = dataset_codebook(ds.node_feat)
-            if cb is not None:
-                tags_np, codebook_np = cb
-                tb = np.asarray(self.nbr_table)
-                self._tag_table = jnp.asarray(build_tag_table(tb, tags_np))
+            ft = (setup_fused_tables(ds.node_feat, tb)
+                  if fused_gate_ok(cfg.model) else None)
+            if ft is not None:
+                tag_tb, tags_np, codebook_np = ft
+                self._tag_table = jnp.asarray(tag_tb)
                 self._tags_dev = jnp.asarray(tags_np)
                 self._codebook = jnp.asarray(codebook_np)
                 if mesh is not None:

@@ -84,6 +84,12 @@ def main():
         )
         t0 = time.time()
         runner = TenfoldVmapRunner(ds, cfg)
+        if args.fused_sampler:
+            # a '+fused' PASS row must certify the fused kernel, not a
+            # silent fallback to the two-pass path
+            assert runner._tag_table is not None, (
+                "fused path did not engage (TPU? codebook? degree<=128?)"
+            )
         best, mean, std = runner.run(
             log_fn=lambda m: print(f"[{name}] {m}", flush=True)
         )

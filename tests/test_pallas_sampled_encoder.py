@@ -37,8 +37,9 @@ def test_dataset_codebook():
     tags, codes = dataset_codebook(const)
     assert codes.shape == (1, 4) and (tags == 0).all()
     np.testing.assert_allclose(codes[tags], const)
-    # genuinely continuous features: not applicable
-    cont = np.random.default_rng(0).standard_normal((100, 4)).astype(np.float32)
+    # genuinely continuous features (more distinct rows than the 128-row
+    # codebook bound): not applicable
+    cont = np.random.default_rng(0).standard_normal((200, 4)).astype(np.float32)
     assert dataset_codebook(cont) is None
 
 
