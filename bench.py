@@ -71,9 +71,13 @@ def main():
             # shapes (scripts/bench_hybrid.py)
             use_pallas_whole_encoder=os.environ.get("GT_WHOLE_ENC", "1")
             == "1",
-            # fully-fused sample+gather+encode (round-4;
-            # scripts/bench_fused_sampler.py A/B)
-            use_fused_sampler=os.environ.get("GT_FUSED_SAMPLER", "0") == "1",
+            # fully-fused sample+gather+encode (round-4): bench 3.63M ->
+            # 3.74-3.76M edges/s/chip; CV accuracy parity on the exact
+            # fused configuration PASSes the gate (MUTAG gap 0.0105, PTC
+            # 0.0001 — runs/hybrid_parity_r3.json '+fused' rows) and the
+            # deterministic forward matches the two-pass path bit-for-bit
+            # (scripts/bench_fused_sampler.py)
+            use_fused_sampler=os.environ.get("GT_FUSED_SAMPLER", "1") == "1",
         ),
         train=TrainConfig(num_epochs=1),
     )
