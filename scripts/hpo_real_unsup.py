@@ -45,11 +45,21 @@ def main():
     ap.add_argument("--trials", type=int, default=12)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--eval_every", type=int, default=2)
+    ap.add_argument("--permute_graphs", type=int, default=None,
+                    metavar="SEED",
+                    help="leak-free protocol (see data.tu.permute_graphs / "
+                         "scripts/unsup_leak_control.py)")
     args = ap.parse_args()
-    out_path = f"runs/hpo/hpo_real_unsup_{args.dataset}.jsonl"
+    suffix = (f"_perm{args.permute_graphs}"
+              if args.permute_graphs is not None else "")
+    out_path = f"runs/hpo/hpo_real_unsup_{args.dataset}{suffix}.jsonl"
     os.makedirs("runs/hpo", exist_ok=True)
     out_f = open(out_path, "a")
     ds = load_tu_dataset(args.dataset)
+    if args.permute_graphs is not None:
+        from graph_transformer_tpu.data.tu import permute_graphs
+
+        ds = permute_graphs(ds, seed=args.permute_graphs)
 
     cache = {}
 

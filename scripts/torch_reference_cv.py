@@ -150,8 +150,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     args = ap.parse_args()
 
-    cfg = {"batch": 4, "K": 8, "T": 4, "ff": 1024, "lr": 5e-4,
-           "epochs": args.epochs}
+    # README configs: MUTAG family (README.md:37) / PTC (README.md:39)
+    per_ds = {"MUTAG": {"K": 8, "T": 4}, "PTC": {"K": 16, "T": 3}}
+    cfg = {"batch": 4, "ff": 1024, "lr": 5e-4, "epochs": args.epochs,
+           **per_ds.get(args.dataset, {"K": 8, "T": 4})}
     ds = load_tu_dataset(args.dataset)
     folds = stratified_kfold_indices(ds.labels, 10, seed=0)
 
