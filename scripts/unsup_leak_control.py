@@ -48,6 +48,10 @@ CONFIGS = {
     "MUTAG": dict(batch=2, K=8, T=1, epochs=50),
     "PTC": dict(batch=2, K=4, T=2, epochs=50),
     "IMDBBINARY": dict(batch=2, K=8, T=1, epochs=50),
+    # coverage extension (round-4 stage 7): same default unsup config the
+    # RESULTS.md breadth rows used
+    "PROTEINS": dict(batch=2, K=8, T=1, epochs=50),
+    "IMDBMULTI": dict(batch=2, K=8, T=1, epochs=50),
 }
 MODELS = ("u2gnn", "gcn_unsup")
 
@@ -73,12 +77,19 @@ def run_one(ds, model, c):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="*", default=list(CONFIGS),
+                    choices=list(CONFIGS))
+    args = ap.parse_args()
     out = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
             out = json.load(f)
     os.makedirs("runs", exist_ok=True)
-    for name, c in CONFIGS.items():
+    for name in args.datasets:
+        c = CONFIGS[name]
         base = load_tu_dataset(name)
         for model in MODELS:
             for order, ds in (("file_order", base),
