@@ -162,9 +162,14 @@ def _layer_fwd(x, p, *, S, rate, slot0_only, want_residuals,
 
 
 def _layer_bwd(x, p, r, dout, *, S, rate, slot0_only,
-               mm_dtype=jnp.bfloat16):
+               mm_dtype=jnp.bfloat16, ffn_factor=None):
     """Backward of one layer given its input ``x``, residuals ``r`` and
     ``dout`` (shape [R/S, D] when slot0_only else [R, D]).
+
+    ``ffn_factor``: optional precomputed relu'·dropout multiplier for the
+    FFN hidden (the stored-residual path supplies ``(h>0)/keep``, which is
+    EXACT — ``h = relu(hpre)·m/keep`` is positive iff kept and hpre>0 —
+    so ``hpre`` need not be stored or recomputed).
 
     Returns (dx [R, D], per-param grads tuple matching ``p``'s order)."""
     R, D = x.shape
@@ -177,9 +182,13 @@ def _layer_bwd(x, p, r, dout, *, S, rate, slot0_only,
     db2 = jnp.sum(dz, axis=0, keepdims=True)
     dw2 = _dotT_lhs(r["h"].astype(mm), dz.astype(mm))
     dh = _dotT_rhs(dz.astype(mm), w2.astype(mm))
-    # relu' and the hidden dropout mask in one factor: h = relu(hpre)*m/keep
-    # => h/hpre == m/keep exactly where hpre > 0 (x2.0 is exact), 0 elsewhere
-    dh = dh * jnp.where(r["hpre"] > 0.0, r["h"] / r["hpre"], 0.0)
+    if ffn_factor is not None:
+        dh = dh * ffn_factor
+    else:
+        # relu' and the hidden dropout mask in one factor:
+        # h = relu(hpre)*m/keep => h/hpre == m/keep exactly where hpre > 0
+        # (x2.0 is exact), 0 elsewhere
+        dh = dh * jnp.where(r["hpre"] > 0.0, r["h"] / r["hpre"], 0.0)
     db1 = jnp.sum(dh, axis=0, keepdims=True)
     dw1 = _dotT_lhs(r["y1"].astype(mm), dh.astype(mm))
     dy1 = du2 + _dotT_rhs(dh.astype(mm), w1.astype(mm))
