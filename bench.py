@@ -78,6 +78,12 @@ def main():
             # deterministic forward matches the two-pass path bit-for-bit
             # (scripts/bench_fused_sampler.py)
             use_fused_sampler=os.environ.get("GT_FUSED_SAMPLER", "1") == "1",
+            # stored-residual backward (round-5): the fused forward writes
+            # each layer's residuals; the backward reads them instead of
+            # recomputing the layer.  Isolated grad loop 8.33 -> 7.54
+            # ms/step (runs/stored_bwd_ab.json); grads closer to the f32
+            # reference than the recompute path.
+            use_stored_bwd=os.environ.get("GT_STORED_BWD", "1") == "1",
         ),
         train=TrainConfig(num_epochs=1),
     )

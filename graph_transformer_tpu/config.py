@@ -106,6 +106,14 @@ class ModelConfig:
     # dataset's features are one-hot tags (TU/REDDIT regime).  Requires
     # use_pallas_whole_encoder, single hidden layer, basic recurrence.
     use_fused_sampler: bool = False
+    # Stored-residual backward for the fused sampled encoder
+    # (ops/pallas_stored_bwd.py): the forward writes each layer's residuals
+    # (FFN hidden bf16, qkv, small strip) and the backward reads them
+    # instead of re-running the layer forward.  Measured A/B at bench
+    # shapes: encoder grad loop 8.33 -> 7.54 ms/step, grads CLOSER to the
+    # f32 reference than the recompute path (scripts/bench_stored_bwd.py,
+    # runs/stored_bwd_ab.json).
+    use_stored_bwd: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

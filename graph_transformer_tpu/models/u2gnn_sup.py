@@ -131,10 +131,20 @@ class U2GNNSup:
                 enc.ln2_scale, enc.ln2_bias,
             )
             tag_rows, degb, self_tag, codebook = sampled_inputs
-            out = fused_u2gnn_encoder_sampled(
-                tag_rows, degb, self_tag, codebook, stacked, seed,
-                batch.neigh.shape[1], cfg.num_timesteps, 0.5,
-            )  # [N_pad, D] f32
+            if cfg.use_stored_bwd:
+                from graph_transformer_tpu.ops.pallas_stored_bwd import (
+                    fused_u2gnn_encoder_sampled_stored,
+                )
+
+                out = fused_u2gnn_encoder_sampled_stored(
+                    tag_rows, degb, self_tag, codebook, stacked, seed,
+                    batch.neigh.shape[1], cfg.num_timesteps, 0.5,
+                )  # [N_pad, D] f32 (stored-residual bwd, tile 384)
+            else:
+                out = fused_u2gnn_encoder_sampled(
+                    tag_rows, degb, self_tag, codebook, stacked, seed,
+                    batch.neigh.shape[1], cfg.num_timesteps, 0.5,
+                )  # [N_pad, D] f32
             pooled = graph_sum_pool(
                 out * batch.node_mask[:, None], batch.graph_id, B
             )

@@ -68,7 +68,10 @@ from graph_transformer_tpu.ops.pallas_u2gnn import (
     _stacked_param_specs,
 )
 
-__all__ = ["fused_u2gnn_encoder_stored"]
+__all__ = [
+    "fused_u2gnn_encoder_sampled_stored",
+    "fused_u2gnn_encoder_stored",
+]
 
 # residual layout in the per-layer "smg" strip (f32):
 # [ctx(D) | y1(D) | uhat1(D) | uhat2(D) | m_a(D) | m_z(D) | rstd1 | rstd2]
@@ -297,17 +300,16 @@ def _stored_fwd_rule(x2d, params, seed, S, T, rate, tile_target, interpret):
     return out, (x2d, params, seed, saved, qkvs, smgs, hs)
 
 
-def _stored_bwd_rule(S, T, rate, tile_target, interpret, res, dout):
-    x2d, params, seed, saved, qkvs, smgs, hs = res
+def _stored_bwd_core(xp, params, seed, saved, qkvs, smgs, hs, dout_pad, *,
+                     S, T, rate, R, interpret):
+    """The T-layer stored backward chain over tile-padded inputs: returns
+    (dx over all padded rows, stacked dparams)."""
     stored = params[0].shape[0]
     F = params[6].shape[2]
-    R = tile_rows(S, tile_target)
-    xp, m = _pad_rows(x2d, R)
     rows_pad = xp.shape[0]
     n_tiles = rows_pad // R
-    G = R // S
     seed0 = _seed_arr(seed)
-    g, _ = _pad_rows(dout.astype(jnp.float32), G)
+    g = dout_pad
     acc = [[None] * 12 for _ in range(stored)]
     for t in range(T - 1, -1, -1):
         x_t = xp if t == 0 else saved[t - 1]
@@ -320,7 +322,6 @@ def _stored_bwd_rule(S, T, rate, tile_target, interpret, res, dout):
         ts = t % stored
         for j, dg in enumerate(grads):
             acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
-    dx = g[:m].astype(x2d.dtype)
     dparams = []
     for j, p in enumerate(params):
         slices = [
@@ -329,9 +330,203 @@ def _stored_bwd_rule(S, T, rate, tile_target, interpret, res, dout):
             for ts in range(stored)
         ]
         dparams.append(jnp.stack(slices).astype(p.dtype))
+    return g, tuple(dparams)
+
+
+def _stored_bwd_rule(S, T, rate, tile_target, interpret, res, dout):
+    x2d, params, seed, saved, qkvs, smgs, hs = res
+    R = tile_rows(S, tile_target)
+    xp, m = _pad_rows(x2d, R)
+    G = R // S
+    g, _ = _pad_rows(dout.astype(jnp.float32), G)
+    g, dparams = _stored_bwd_core(xp, params, seed, saved, qkvs, smgs, hs,
+                                  g, S=S, T=T, rate=rate, R=R,
+                                  interpret=interpret)
+    dx = g[:m].astype(x2d.dtype)
     seed_ct = (None if seed is None
                else np.zeros(np.shape(seed), jax.dtypes.float0))
-    return dx, tuple(dparams), seed_ct
+    return dx, dparams, seed_ct
 
 
 fused_u2gnn_encoder_stored.defvjp(_stored_fwd_rule, _stored_bwd_rule)
+
+
+# ------------------------------------------------- sampled + stored variant
+def _sampled_stored_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
+                               code_ref, *refs, S, rate, T, stored):
+    """Sampling preamble of ``pallas_sampled_encoder._sampled_fwd_kernel``
+    (same PRNG stream layout: sampler on stream ``T·n_tiles + i``, dropout
+    on ``t·n_tiles + i``) feeding the residual-writing forward of
+    ``_stored_fwd_kernel``."""
+    param_refs = refs[:12]
+    out_ref = refs[12]
+    x0_ref = refs[13]
+    n_saved = max(T - 1, 0)
+    saved_refs = refs[14:14 + n_saved]
+    qkv_refs = refs[14 + n_saved:14 + n_saved + T]
+    smg_refs = refs[14 + n_saved + T:14 + n_saved + 2 * T]
+    h_refs = refs[14 + n_saved + 2 * T:]
+    i = pl.program_id(0)
+    G = tag_rows_ref.shape[0]
+
+    # ---- sample neighbor tags (disjoint stream: T·n_tiles + i)
+    pltpu.prng_seed(seed_ref[0, 0] + T * pl.num_programs(0) + i)
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits(tag_rows_ref.shape), jnp.uint32
+    )
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    deg = jnp.maximum(deg_ref[:], 1).astype(jnp.float32)  # [G, 1]
+    idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
+    tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
+
+    # ---- [R, D] layer-0 input in VMEM: onehot(tag) @ codebook
+    all_tags = jnp.concatenate(
+        [self_tag_ref[:], tags[:, : S - 1]], axis=1
+    )  # [G, S]
+    n_codes = code_ref.shape[0]
+    onehot3 = (
+        all_tags[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (G, S, n_codes), 2)
+    ).astype(jnp.float32)
+    onehot = onehot3.reshape(G * S, n_codes)
+    x = jnp.dot(onehot, code_ref[:], preferred_element_type=jnp.float32)
+    # saved-dtype round-trip: fwd consumes exactly what bwd will read back
+    x = x.astype(x0_ref.dtype)
+    x0_ref[:] = x
+    h = x.astype(jnp.float32)
+    D = h.shape[1]
+
+    # ---- T-layer residual-writing forward (same body as _stored_fwd_kernel)
+    mm = jnp.bfloat16 if x0_ref.dtype == jnp.bfloat16 else jnp.float32
+    for t in range(T):
+        if t > 0:
+            saved_refs[t - 1][:] = h.astype(saved_refs[t - 1].dtype)
+        if rate > 0.0:
+            _seed_layer(seed_ref, i, t, T)
+        h, r = _layer_fwd(h, _params_at(param_refs, t, stored), S=S,
+                          rate=rate, slot0_only=(t == T - 1),
+                          want_residuals=True, mm_dtype=mm)
+        qkv_refs[t][:] = jnp.concatenate(
+            [r["q"], r["k"], r["v"]], axis=1
+        ).astype(qkv_refs[t].dtype)
+        smg_refs[t][:] = _pack_smg(r, D).astype(smg_refs[t].dtype)
+        h_refs[t][:] = r["h"].astype(h_refs[t].dtype)
+    out_ref[:] = h.astype(out_ref.dtype)
+
+
+def _sampled_stored_fwd_call(tag_rows, deg, self_tag, codebook, params,
+                             seed, S, T, rate, tile_target, x_dtype,
+                             interpret):
+    from graph_transformer_tpu.ops.pallas_sampled_encoder import _full_spec2
+    from graph_transformer_tpu.sampling.pallas_sampler import TABLE_WIDTH
+
+    stored = params[0].shape[0]
+    D = params[0].shape[1]
+    F = params[6].shape[2]
+    R = tile_rows(S, tile_target)
+    G = R // S
+    n = tag_rows.shape[0]
+    n_pad = ((n + G - 1) // G) * G
+    if n_pad != n:
+        pad = n_pad - n
+        tag_rows = jnp.pad(tag_rows, ((0, pad), (0, 0)))
+        deg = jnp.pad(deg, ((0, pad), (0, 0)), constant_values=1)
+        self_tag = jnp.pad(self_tag, ((0, pad), (0, 0)))
+    rows_pad = n_pad * S
+    grid = (n_pad // G,)
+    param_specs, _ = _stacked_param_specs(stored, D, F)
+    n_saved = max(T - 1, 0)
+    smw = _smg_width(D)
+
+    def rows_t(t):
+        return (n_pad, G) if t == T - 1 else (rows_pad, R)
+
+    out_specs = (
+        [pl.BlockSpec((G, D), lambda i: (i, 0)),       # slot-0 out
+         pl.BlockSpec((R, D), lambda i: (i, 0))]       # built x0
+        + [pl.BlockSpec((R, D), lambda i: (i, 0)) for _ in range(n_saved)]
+        + [pl.BlockSpec((R, 3 * D), lambda i: (i, 0)) for _ in range(T)]
+        + [pl.BlockSpec((rows_t(t)[1], smw), lambda i: (i, 0))
+           for t in range(T)]
+        + [pl.BlockSpec((rows_t(t)[1], F), lambda i: (i, 0))
+           for t in range(T)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
+         jax.ShapeDtypeStruct((rows_pad, D), x_dtype)]
+        + [jax.ShapeDtypeStruct((rows_pad, D), x_dtype)
+           for _ in range(n_saved)]
+        + [jax.ShapeDtypeStruct((rows_pad, 3 * D), jnp.float32)
+           for _ in range(T)]
+        + [jax.ShapeDtypeStruct((rows_t(t)[0], smw), jnp.float32)
+           for t in range(T)]
+        + [jax.ShapeDtypeStruct((rows_t(t)[0], F), x_dtype)
+           for t in range(T)]
+    )
+    outs = pl.pallas_call(
+        functools.partial(_sampled_stored_fwd_kernel, S=S, rate=rate, T=T,
+                          stored=stored),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((G, TABLE_WIDTH), lambda i: (i, 0)),
+                  pl.BlockSpec((G, 1), lambda i: (i, 0)),
+                  pl.BlockSpec((G, 1), lambda i: (i, 0)),
+                  _full_spec2(codebook.shape)] + param_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(_seed_arr(seed), tag_rows, deg, self_tag, codebook, *params)
+    out, x0 = outs[0], outs[1]
+    saved = tuple(outs[2:2 + n_saved])
+    qkvs = tuple(outs[2 + n_saved:2 + n_saved + T])
+    smgs = tuple(outs[2 + n_saved + T:2 + n_saved + 2 * T])
+    hs = tuple(outs[2 + n_saved + 2 * T:])
+    return out[:n], x0, saved, qkvs, smgs, hs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def fused_u2gnn_encoder_sampled_stored(tag_rows, deg, self_tag, codebook,
+                                       params, seed, seq_len: int,
+                                       num_timesteps: int, rate: float = 0.0,
+                                       tile_target: int = 384,
+                                       interpret: bool = False):
+    """``fused_u2gnn_encoder_sampled`` (sample + build codebook features +
+    T-layer encoder in one kernel) with the stored-residual backward.
+    Default ``tile_target=384``: the residual writes put the 512-row tile
+    over the 16 MB scoped-VMEM limit, and 384 measured faster than 512
+    under a raised limit anyway (scripts/bench_stored_bwd.py)."""
+    out, _, _, _, _, _ = _sampled_stored_fwd_call(
+        tag_rows, deg, self_tag, codebook, params, seed, seq_len,
+        num_timesteps, rate, tile_target, jnp.bfloat16, interpret,
+    )
+    return out
+
+
+def _sampled_stored_fwd_rule(tag_rows, deg, self_tag, codebook, params,
+                             seed, S, T, rate, tile_target, interpret):
+    out, x0, saved, qkvs, smgs, hs = _sampled_stored_fwd_call(
+        tag_rows, deg, self_tag, codebook, params, seed, S, T, rate,
+        tile_target, jnp.bfloat16, interpret,
+    )
+    shapes = (tag_rows.shape, deg.shape, self_tag.shape)
+    return out, (x0, params, seed, saved, qkvs, smgs, hs, shapes,
+                 codebook.shape)
+
+
+def _sampled_stored_bwd_rule(S, T, rate, tile_target, interpret, res, dout):
+    x0, params, seed, saved, qkvs, smgs, hs, shapes, code_shape = res
+    R = tile_rows(S, tile_target)
+    G = R // S
+    g, _ = _pad_rows(dout.astype(jnp.float32), G)
+    _, dparams = _stored_bwd_core(x0, params, seed, saved, qkvs, smgs, hs,
+                                  g, S=S, T=T, rate=rate, R=R,
+                                  interpret=interpret)
+    # int inputs take float0 cotangents; the codebook is dataset constants
+    ct_int = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (ct_int(shapes[0]), ct_int(shapes[1]), ct_int(shapes[2]),
+            jnp.zeros(code_shape, jnp.float32), dparams,
+            np.zeros(np.shape(seed), jax.dtypes.float0))
+
+
+fused_u2gnn_encoder_sampled_stored.defvjp(_sampled_stored_fwd_rule,
+                                          _sampled_stored_bwd_rule)

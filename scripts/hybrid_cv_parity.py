@@ -66,7 +66,13 @@ def main():
                     help="gate the fully-fused sample+gather+encode path "
                          "(use_fused_sampler=True; artifact keys get a "
                          "'+fused' suffix)")
+    ap.add_argument("--stored_bwd", action="store_true",
+                    help="gate the stored-residual backward on the fused "
+                         "path (use_stored_bwd=True; implies "
+                         "--fused_sampler; keys get a '+stored' suffix)")
     args = ap.parse_args()
+    if args.stored_bwd:
+        args.fused_sampler = True
     out = {}
     for name in args.datasets:
         c = CONFIGS[name]
@@ -78,6 +84,7 @@ def main():
                 ff_hidden_size=1024, use_pallas=True,
                 use_pallas_whole_encoder=True,
                 use_fused_sampler=args.fused_sampler,
+                use_stored_bwd=args.stored_bwd,
                 compute_dtype="bfloat16",
             ),
             train=TrainConfig(num_epochs=c["epochs"], learning_rate=5e-4),
@@ -96,7 +103,8 @@ def main():
         dt = time.time() - t0
         ref = xla_reference(name)
         gap = abs(mean - ref["mean"]) if ref else None
-        out_key = name + ("+fused" if args.fused_sampler else "")
+        out_key = name + ("+stored" if args.stored_bwd
+                          else "+fused" if args.fused_sampler else "")
         out[out_key] = {
             "hybrid_bf16": {"mean": mean, "std": std, "folds": best.tolist()},
             "xla_f32": ({"mean": ref["mean"], "std": ref["std"]}

@@ -128,3 +128,52 @@ def test_sampled_encoder_grads_match_two_pass_deterministic():
     for a, b in zip(g_fused, g_two):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.skipif(not on_tpu(), reason="sampler needs the TPU PRNG")
+def test_sampled_stored_matches_sampled_hybrid():
+    """The stored-residual variant must reproduce the sampled-hybrid
+    kernel bit-exactly in the forward (same seed, same tiling => same
+    PRNG streams) and to rematerialization precision in the grads."""
+    from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+        fused_u2gnn_encoder_sampled,
+    )
+    from graph_transformer_tpu.ops.pallas_stored_bwd import (
+        fused_u2gnn_encoder_sampled_stored,
+    )
+
+    rng = np.random.default_rng(3)
+    n, S, D, F, T = 48, 5, 4, 32, 3
+    nc = 16
+    tag_rows = jnp.asarray(rng.integers(0, nc, (n, 128)), jnp.int32)
+    deg = jnp.asarray(rng.integers(1, 100, (n, 1)), jnp.int32)
+    self_tag = jnp.asarray(rng.integers(0, nc, (n, 1)), jnp.int32)
+    codebook = jnp.asarray(
+        rng.standard_normal((nc, D)).astype(np.float32))
+    params = tuple(
+        jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+        for s in [(T, D, 3 * D), (T, 3 * D), (T, D, D), (T, D), (T, D),
+                  (T, D), (T, D, F), (T, F), (T, F, D), (T, D), (T, D),
+                  (T, D)]
+    )
+    w = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
+    seed = jnp.asarray([21], jnp.int32)
+    tt = 128  # same tile for both (PRNG streams are per-tile)
+
+    fa = fused_u2gnn_encoder_sampled(
+        tag_rows, deg, self_tag, codebook, params, seed, S, T, 0.5, tt)
+    fb = fused_u2gnn_encoder_sampled_stored(
+        tag_rows, deg, self_tag, codebook, params, seed, S, T, 0.5, tt)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+    ga = jax.grad(lambda p: jnp.sum(fused_u2gnn_encoder_sampled(
+        tag_rows, deg, self_tag, codebook, p, seed, S, T, 0.5, tt) * w)
+    )(params)
+    gb = jax.grad(lambda p: jnp.sum(fused_u2gnn_encoder_sampled_stored(
+        tag_rows, deg, self_tag, codebook, p, seed, S, T, 0.5, tt) * w)
+    )(params)
+    va = jnp.concatenate([a.reshape(-1) for a in ga])
+    vb = jnp.concatenate([b.reshape(-1) for b in gb])
+    cos = float(jnp.vdot(va, vb)
+                / (jnp.linalg.norm(va) * jnp.linalg.norm(vb)))
+    assert cos > 0.999
