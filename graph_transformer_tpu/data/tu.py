@@ -322,6 +322,7 @@ def synthetic_powerlaw_dataset(
     attach_edges: int = 2,
     seed: int = 0,
     reddit_like: bool = True,
+    heavy_tail: bool = False,
 ) -> GraphDataset:
     """Generate a REDDIT-like power-law dataset.
 
@@ -330,14 +331,28 @@ def synthetic_powerlaw_dataset(
     REDDITMULTI5K-scale batches use Barabási–Albert-style graphs with matching
     statistics (REDDITMULTI5K: ~5k graphs, ~509 nodes and ~595 undirected edges
     per graph on average).
+
+    ``heavy_tail=True`` models the part of real REDDIT the plain BA
+    process misses: discussion threads have a root post most replies
+    attach to, so the max degree is ~graph size (≫ the 128-lane width),
+    not the BA ~sqrt(n·m).  Each node then attaches to the graph's root
+    with probability 0.4 (else preferentially), and graph sizes get a
+    lognormal tail (a few multi-thousand-node graphs), driving max degree
+    past 1000 — the regime the hub-subsample sampler rows exist for.
     """
     rng = np.random.default_rng(seed)
     graph_offsets = np.zeros(num_graphs + 1, dtype=np.int64)
     labels = rng.integers(0, num_classes, size=num_graphs).astype(np.int32)
     src_chunks, dst_chunks = [], []
-    sizes = np.maximum(
-        3, rng.poisson(mean_nodes, size=num_graphs)
-    ).astype(np.int64)
+    if heavy_tail:
+        # lognormal with the requested mean: median ~0.6×mean, p99 ~6×mean
+        sizes = np.maximum(
+            3, (mean_nodes * rng.lognormal(-0.5, 1.0, num_graphs))
+        ).astype(np.int64)
+    else:
+        sizes = np.maximum(
+            3, rng.poisson(mean_nodes, size=num_graphs)
+        ).astype(np.int64)
     for g in range(num_graphs):
         n = int(sizes[g])
         base = graph_offsets[g]
@@ -347,10 +362,14 @@ def synthetic_powerlaw_dataset(
         # endpoint list, which is degree-biased.
         endpoints = [0, 1]
         srcs, dsts = [1], [0]
+        root_p = rng.random(n) if heavy_tail else None
         for j in range(2, n):
             m = min(attach_edges, j)
-            picks = rng.choice(len(endpoints), size=m)
-            targets = {endpoints[p] for p in picks}
+            if heavy_tail and root_p[j] < 0.4:
+                targets = {0}  # reply-to-root: degree(root) ~ 0.4·n
+            else:
+                picks = rng.choice(len(endpoints), size=m)
+                targets = {endpoints[p] for p in picks}
             for t in targets:
                 srcs.append(j)
                 dsts.append(t)

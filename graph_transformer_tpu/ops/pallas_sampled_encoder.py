@@ -30,8 +30,10 @@ backward's per-layer replay is unaffected.
 
 Applicability gate: feature rows take ≤ 128 distinct values
 (``dataset_codebook`` — one-hot tags, degree one-hots, the REDDIT ×0.01
-constant rule) and max degree ≤ 128.  TPU-only (on-core PRNG); callers
-fall back to the two-pass path otherwise.
+constant rule).  Hub nodes (degree > 128) ride the subsampled table rows
+(see ``sampling/pallas_sampler.py`` module docstring) so heavy-tail
+datasets stay on this path.  TPU-only (on-core PRNG); callers fall back
+to the two-pass path otherwise.
 """
 
 from __future__ import annotations
@@ -149,7 +151,9 @@ def _sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
         pltpu.prng_random_bits(tag_rows_ref.shape), jnp.uint32
     )
     u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-    deg = jnp.maximum(deg_ref[:], 1).astype(jnp.float32)  # [G, 1]
+    # hub clamp: rows with deg > 128 hold a uniform 128-subsample
+    # (sampling/pallas_sampler.py module docstring)
+    deg = jnp.clip(deg_ref[:], 1, TABLE_WIDTH).astype(jnp.float32)  # [G, 1]
     idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
     tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
 

@@ -375,7 +375,9 @@ def _sampled_stored_fwd_kernel(seed_ref, tag_rows_ref, deg_ref, self_tag_ref,
         pltpu.prng_random_bits(tag_rows_ref.shape), jnp.uint32
     )
     u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-    deg = jnp.maximum(deg_ref[:], 1).astype(jnp.float32)  # [G, 1]
+    # hub clamp: rows with deg > 128 hold a uniform 128-subsample
+    # (sampling/pallas_sampler.py module docstring)
+    deg = jnp.clip(deg_ref[:], 1, 128).astype(jnp.float32)  # [G, 1]
     idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
     tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
 

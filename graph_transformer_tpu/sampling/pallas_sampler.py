@@ -23,8 +23,21 @@ Only columns [0, K) of the output are consumed.  Sampling semantics match
 list, self-fill for isolated nodes — ``train_pytorch_U2GNN_Sup.py:107-113``);
 the RNG stream differs (TPU PRNG vs threefry) and the float scaling carries
 the same O(deg/2^24) rounding bias class as ``jax.random.randint``'s
-remainder method.  Requires max degree ≤ 128 (the lane-gather width);
-callers fall back to the XLA path otherwise.
+remainder method.
+
+**Hub nodes (degree > 128, the REDDIT heavy-tail regime).**  The lane
+gather is hard-limited to 128 entries, so a hub's table row cannot hold
+its full neighbor list.  Instead the row holds a SEEDED UNIFORM
+WITH-REPLACEMENT 128-SUBSAMPLE of the list and the kernel clamps the
+degree to 128: each draw is then uniform over the subsample, and since
+the subsample entries are themselves iid uniform over the true neighbor
+list, every draw is marginally uniform over the true list.  What changes
+vs the exact semantics is only inter-draw correlation: within one table
+refresh, draws for a hub land in its 128-entry subsample (self-correlated
+across steps).  Hubs are a vanishing fraction of a power-law graph's
+nodes, and ``refresh_hub_rows`` re-draws the subsample (call it per epoch
+to decorrelate across epochs).  Measured: heavy-tail bench variant in
+``runs/heavy_tail_bench.json``.
 """
 
 from __future__ import annotations
@@ -49,23 +62,47 @@ from graph_transformer_tpu.ops.pallas_ffn import on_tpu
 TABLE_WIDTH = 128  # lane-gather width (hard hardware limit)
 
 
-def build_neighbor_table(ds: GraphDataset) -> np.ndarray | None:
+def build_neighbor_table(
+    ds: GraphDataset, hub_seed: int = 0
+) -> np.ndarray:
     """[num_nodes, 128] int32 global-id table: row v holds v's neighbor list
-    tiled to 128 entries (self for isolated nodes).  None when any degree
-    exceeds the lane-gather width (callers then use the XLA CSR path)."""
+    tiled to 128 entries (self for isolated nodes).  Rows whose degree
+    exceeds the 128-lane gather width hold a seeded uniform
+    with-replacement 128-subsample instead (marginally-uniform draws; see
+    module docstring), so the fast path engages on heavy-tail datasets
+    (real REDDIT has hub nodes far beyond 128)."""
     deg = ds.degrees
-    if int(deg.max()) > TABLE_WIDTH:
-        return None
     n = ds.num_nodes
     table = np.empty((n, TABLE_WIDTH), np.int32)
+    rng = np.random.default_rng(hub_seed)
     for v in range(n):
         s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
-        if e > s:
+        if e - s > TABLE_WIDTH:
+            table[v] = rng.choice(ds.nbr_ids[s:e], TABLE_WIDTH)
+        elif e > s:
             reps = -(-TABLE_WIDTH // (e - s))
             table[v] = np.tile(ds.nbr_ids[s:e], reps)[:TABLE_WIDTH]
         else:
             table[v] = v
     return table
+
+
+def refresh_hub_rows(
+    table: np.ndarray, ds: GraphDataset, seed: int
+) -> np.ndarray:
+    """Re-draw the 128-subsample rows of hub nodes (degree > 128) in a COPY
+    of ``table``.  Call per epoch to decorrelate hub draws across epochs;
+    non-hub rows are untouched.  No-op (returns ``table``) when the
+    dataset has no hubs."""
+    hubs = np.flatnonzero(ds.degrees > TABLE_WIDTH)
+    if hubs.size == 0:
+        return table
+    out = table.copy()
+    rng = np.random.default_rng(seed)
+    for v in hubs:
+        s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
+        out[v] = rng.choice(ds.nbr_ids[s:e], TABLE_WIDTH)
+    return out
 
 
 def _sample_kernel(seed_ref, rows_ref, deg_ref, out_ref):
@@ -77,7 +114,10 @@ def _sample_kernel(seed_ref, rows_ref, deg_ref, out_ref):
     # float-scaled uniform int in [0, deg): keep the top 24 bits so the
     # f32 mantissa holds them exactly (via int32 — Mosaic has no u32→f32)
     u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-    deg = jnp.maximum(deg_ref[:], 1).astype(jnp.float32)  # [tile, 1]
+    # clamp to the table width: hub rows (deg > 128) hold a uniform
+    # 128-subsample, and a uniform draw over it is marginally uniform
+    # over the true neighbor list (module docstring)
+    deg = jnp.clip(deg_ref[:], 1, TABLE_WIDTH).astype(jnp.float32)
     idx = jnp.minimum(
         jnp.floor(u * deg), deg - 1.0
     ).astype(jnp.int32)

@@ -37,13 +37,39 @@ def test_table_rows_tile_neighbor_lists():
             assert np.all(table[v] == v)
 
 
-def test_table_none_when_degree_exceeds_width():
+def test_hub_rows_subsample_neighbor_list():
+    """Degree > 128 rows (heavy-tail regime): the table row is a uniform
+    with-replacement subsample of the TRUE neighbor list — membership
+    exact, and every entry a real neighbor — and refresh_hub_rows
+    re-draws exactly those rows."""
+    from graph_transformer_tpu.sampling.pallas_sampler import (
+        refresh_hub_rows,
+    )
+
     ds = synthetic_powerlaw_dataset(num_graphs=4, mean_nodes=400,
                                     attach_edges=60, seed=3)
-    if int(ds.degrees.max()) > TABLE_WIDTH:
-        assert build_neighbor_table(ds) is None
-    else:
+    if int(ds.degrees.max()) <= TABLE_WIDTH:
         pytest.skip("synthetic graph stayed under the width")
+    table = build_neighbor_table(ds)
+    assert table.shape == (ds.num_nodes, TABLE_WIDTH)
+    hubs = np.flatnonzero(ds.degrees > TABLE_WIDTH)
+    assert hubs.size > 0
+    for v in hubs[:5]:
+        s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
+        assert set(table[v]) <= set(ds.nbr_ids[s:e].tolist())
+        # with-replacement subsample of >128 neighbors: expect many
+        # distinct entries (not a single repeated id)
+        assert len(set(table[v])) > TABLE_WIDTH // 2
+    # non-hub rows keep the exact tiled layout
+    nonhub = int(np.flatnonzero(
+        (ds.degrees > 0) & (ds.degrees <= TABLE_WIDTH))[0])
+    s, e = ds.nbr_offsets[nonhub], ds.nbr_offsets[nonhub + 1]
+    assert set(table[nonhub]) == set(ds.nbr_ids[s:e].tolist())
+    t2 = refresh_hub_rows(table, ds, seed=99)
+    assert not np.array_equal(t2[hubs[0]], table[hubs[0]])
+    np.testing.assert_array_equal(t2[nonhub], table[nonhub])
+    s, e = ds.nbr_offsets[hubs[0]], ds.nbr_offsets[hubs[0] + 1]
+    assert set(t2[hubs[0]]) <= set(ds.nbr_ids[s:e].tolist())
 
 
 @pytest.mark.skipif(not on_tpu(), reason="kernel needs the TPU PRNG")
@@ -60,6 +86,30 @@ def test_sampled_ids_are_neighbors():
     deg = jnp.asarray(ds.degrees, jnp.int32)[:, None]
     out = np.asarray(sample_neighbor_table(jnp.int32(7), table, deg))
     for v in range(0, ds.num_nodes, 97):
+        s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
+        allowed = set(ds.nbr_ids[s:e].tolist()) if e > s else {v}
+        assert set(out[v].tolist()) <= allowed
+
+
+@pytest.mark.skipif(not on_tpu(), reason="kernel needs the TPU PRNG")
+def test_sampled_ids_are_neighbors_heavy_tail():
+    """Hub rows (degree > 128, unclamped deg passed in): the kernel clamps
+    to the table width and every sampled id is still a TRUE neighbor."""
+    import jax.numpy as jnp
+
+    from graph_transformer_tpu.sampling.pallas_sampler import (
+        sample_neighbor_table,
+    )
+
+    ds = synthetic_powerlaw_dataset(num_graphs=4, mean_nodes=400,
+                                    attach_edges=60, seed=3)
+    hubs = np.flatnonzero(ds.degrees > TABLE_WIDTH)
+    if hubs.size == 0:
+        pytest.skip("synthetic graph stayed under the width")
+    table = jnp.asarray(build_neighbor_table(ds))
+    deg = jnp.asarray(ds.degrees, jnp.int32)[:, None]  # true (unclamped)
+    out = np.asarray(sample_neighbor_table(jnp.int32(11), table, deg))
+    for v in list(hubs[:3]) + list(range(0, ds.num_nodes, 211)):
         s, e = ds.nbr_offsets[v], ds.nbr_offsets[v + 1]
         allowed = set(ds.nbr_ids[s:e].tolist()) if e > s else {v}
         assert set(out[v].tolist()) <= allowed
