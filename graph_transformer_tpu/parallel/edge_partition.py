@@ -605,6 +605,7 @@ def make_halo_train_step(
     donate: bool = True,
     deterministic: bool = False,
     overlap: bool = False,
+    masked: bool = False,
 ):
     """Regime-2 FULL training step: node-partitioned U2GNN encoder with
     per-layer halo exchange + sampled-softmax objective + gradient ``psum``.
@@ -725,7 +726,41 @@ def make_halo_train_step(
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state, loss
 
-    fn = step_overlap if overlap else step
+    def step_masked(params, opt_state, x, plan: HaloPlan, valid, key):
+        """Blocking exchange + per-node loss mask: the parity twin of the
+        overlapped step on padded partitions (``masked=True``)."""
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                P(axis_name),
+                P(),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def grad_local(p, x_local, export_idx, imp_src, imp_row, imp_loc,
+                       v, k):
+            return _grad_local(
+                p, x_local, export_idx, imp_src[0], imp_row[0], imp_loc[0],
+                k, valid=v,
+            )
+
+        loss, grads = grad_local(
+            params, x, plan.export_idx, plan.import_src, plan.import_row,
+            plan.import_local, valid, key,
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    fn = step_overlap if overlap else (step_masked if masked else step)
     return jax.jit(fn, donate_argnums=(0, 1) if donate else ())
 
 

@@ -451,6 +451,22 @@ def test_halo_overlap_step_with_edge_balanced_partition():
     want = float(jnp.sum(losses * valid))
     assert float(loss) == pytest.approx(want, rel=1e-5)
 
+    # masked BLOCKING step (the overlapped step's parity twin on padded
+    # partitions — what dryrun_multichip's regime-3 self-check runs):
+    # same masked loss, same updated params
+    mstep = make_halo_train_step(opt, mesh, n, nsampled, num_timesteps=1,
+                                 donate=False, deterministic=True,
+                                 masked=True)
+    pm, _, mloss = mstep(params, opt.init(params), jnp.asarray(x_new),
+                         plan, valid, key)
+    assert float(mloss) == pytest.approx(float(loss), rel=1e-6)
+    po, _, _ = step(params, opt.init(params), jnp.asarray(x_new), plan,
+                    oplan, valid, key)
+    for a, b in zip(jax.tree_util.tree_leaves(pm),
+                    jax.tree_util.tree_leaves(po)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
 
 def test_cost_model_overlap_raises_efficiency():
     from graph_transformer_tpu.parallel.edge_partition import (
