@@ -40,12 +40,21 @@ def main(argv=None):
              "(scripts/unsup_leak_control.py).  Omit for file-order "
              "reference parity.",
     )
+    parser.add_argument(
+        "--id_symmetric", action="store_true",
+        help="leak control inside the loss: train node v's output-embedding "
+             "row at a per-run random permuted index, cutting the id->label "
+             "channel with zero data-pipeline cost (matches the "
+             "--permute_graphs numbers; runs/id_symmetric_check.json).",
+    )
     args = parser.parse_args(argv)
     import dataclasses as _dc
 
     cfg = config_from_args(args)
     cfg = cfg.replace(
-        model=_dc.replace(cfg.model, sampled_softmax_mode=args.sampled_softmax_mode)
+        model=_dc.replace(cfg.model,
+                          sampled_softmax_mode=args.sampled_softmax_mode,
+                          id_symmetric=args.id_symmetric)
     )
     model_name = args.model_name or f"{args.dataset}_unsup"
     out_dir = os.path.join(args.run_folder, model_name)

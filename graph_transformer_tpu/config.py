@@ -87,6 +87,12 @@ class ModelConfig:
     # (subtract log expected count + accidental-hit masking), the clean
     # semantics of model_U2GNN_Unsup_multi.py:56-58.
     sampled_softmax_mode: str = "tf"
+    # Id-symmetric unsup protocol (round-4 file-order-leak control,
+    # ROADMAP 8c): train node v's output-embedding row at a per-run random
+    # permuted index π(v), cutting the id->label channel inside the loss
+    # with zero data-pipeline cost (equivalent in effect to permute_graphs;
+    # verified on PTC/IMDBBINARY, runs/id_symmetric_check.json).
+    id_symmetric: bool = False
     # Multilayer (multiplex) wrapper options (python_multi_layer_siamese_u2gnn.py)
     ml_model_type: str = "siamese"  # siamese | multi
     projection_dim: int = -1

@@ -102,21 +102,31 @@ class GCNGraphUnsup:
         neigh_feat=None,  # unused; GCN aggregates over edges, not fanouts
         neigh_global=None,  # unused; trainer-interface compatibility
         num_total_nodes=None,  # unused; trainer-interface compatibility
+        vocab_perm: Optional[jax.Array] = None,  # id-symmetric protocol
     ) -> jax.Array:
         z = self.encode(params, batch, rng=rng)
+        labels = batch.node_gidx
+        if vocab_perm is not None:
+            labels = vocab_perm[labels]
         per_node = sampled_softmax_loss(
             params.ss,
             key,
             z,
-            batch.node_gidx,
+            labels,
             spec,
             mode=self.cfg.sampled_softmax_mode,
             mask=batch.node_mask,
         )
         return jnp.sum(per_node)
 
-    def node_embeddings(self, params: GCNGraphUnsupParams) -> jax.Array:
+    def node_embeddings(
+        self, params: GCNGraphUnsupParams,
+        vocab_perm: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """The learned output-embedding matrix W — what the reference
         evaluates (``train_unsup_gcn.py:180-186`` reads
-        ``embedding/node_embeddings:0``)."""
+        ``embedding/node_embeddings:0``).  Under the id-symmetric protocol
+        node v trained row ``vocab_perm[v]``; return rows in node order."""
+        if vocab_perm is not None:
+            return params.ss.weight[vocab_perm]
         return params.ss.weight

@@ -211,10 +211,18 @@ class U2GNNUnsup:
         neigh_feat: Optional[jax.Array] = None,  # fast-path gathered features
         neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
         num_total_nodes: Optional[int] = None,
+        vocab_perm: Optional[jax.Array] = None,  # [N_total] permutation π
     ) -> jax.Array:
         """Scalar training loss (sum of per-node sampled-softmax logits, the
         reference's objective ``loss = torch.sum(logits)``,
-        ``train_pytorch_U2GNN_UnSup.py:155-156``)."""
+        ``train_pytorch_U2GNN_UnSup.py:155-156``).
+
+        ``vocab_perm``: the id-symmetric leak control (round-4 finding,
+        ROADMAP 8c) — train node v's output-embedding row at the PERMUTED
+        index π(v), so the log-uniform candidate pressure (a strong
+        function of numeric id) becomes independent of the class-sorted
+        file position without touching the data pipeline.  Eval reads
+        ``node_embeddings(params, vocab_perm=π)`` to undo the indexing."""
         cfg = self.cfg
         z = self.encode(
             params, batch, rng=rng, neigh_feat=neigh_feat,
@@ -236,11 +244,14 @@ class U2GNNUnsup:
                     cfg.sampled_num, mask=batch.node_mask,
                 )
                 return jnp.sum(per_node)
+            labels = batch.node_gidx
+            if vocab_perm is not None:
+                labels = vocab_perm[labels]
             per_node = sampled_softmax_loss(
                 params.ss,
                 key,
                 z,
-                batch.node_gidx,
+                labels,
                 spec,
                 mode=cfg.sampled_softmax_mode,
                 mask=batch.node_mask,
@@ -263,9 +274,16 @@ class U2GNNUnsup:
             return gae_loss([emb], adj_mask[:, :, None], norm)
         raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
 
-    def node_embeddings(self, params: U2GNNUnsupParams) -> jax.Array:
+    def node_embeddings(
+        self, params: U2GNNUnsupParams,
+        vocab_perm: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """The evaluation embedding table: the sampled-softmax output matrix
-        (``train_pytorch_U2GNN_UnSup.py:168``, TF ``W:0``)."""
+        (``train_pytorch_U2GNN_UnSup.py:168``, TF ``W:0``).  Under the
+        id-symmetric protocol node v trained row ``vocab_perm[v]``; return
+        rows in node order so pooling/probing is unchanged."""
         if self.head == "cross_attention" and params.weight is not None:
             return params.weight
+        if vocab_perm is not None:
+            return params.ss.weight[vocab_perm]
         return params.ss.weight

@@ -99,7 +99,19 @@ class UnsupTrainer:
             cfg.train.plateau_window,
         )
 
+        # id-symmetric protocol: one fixed random permutation per run
+        # (seeded off the train seed; see ModelConfig.id_symmetric)
+        self._vocab_perm = None
+        if cfg.model.id_symmetric:
+            self._vocab_perm = jnp.asarray(
+                np.random.default_rng(cfg.train.seed + 7).permutation(
+                    ds.num_nodes
+                ),
+                jnp.int32,
+            )
+
         model, opt, spec = self.model, self.opt, self.spec
+        vocab_perm = self._vocab_perm
         on_dev = cfg.train.on_device_sampling
         K = cfg.data.num_neighbors
         total_nodes = ds.num_nodes
@@ -135,6 +147,7 @@ class UnsupTrainer:
                 return model.loss(
                     p, batch, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
                     neigh_global=ng, num_total_nodes=total_nodes,
+                    vocab_perm=vocab_perm,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -159,6 +172,7 @@ class UnsupTrainer:
                     return model.loss(
                         pp, b, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
                         neigh_global=ng, num_total_nodes=total_nodes,
+                        vocab_perm=vocab_perm,
                     )
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -209,7 +223,10 @@ class UnsupTrainer:
 
     def evaluate(self) -> tuple:
         """(mean, std) 10-fold logistic accuracy of pooled graph embeddings."""
-        emb = np.asarray(self.model.node_embeddings(self.params))
+        emb = np.asarray(
+            self.model.node_embeddings(self.params,
+                                       vocab_perm=self._vocab_perm)
+        )
         graph_emb = pool_node_embeddings(emb, self.ds.graph_offsets)
         return tenfold_logistic_accuracy(graph_emb, self.ds.labels)
 

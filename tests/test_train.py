@@ -131,3 +131,52 @@ def test_unsup_trainer_stacked_epoch(mutag):
     assert np.isfinite(l0) and np.isfinite(l1)
     mean, std = t.evaluate()
     assert 0.0 <= mean <= 1.0
+
+
+def test_id_symmetric_protocol():
+    """ModelConfig.id_symmetric: (a) an identity-permutation loss equals
+    the baseline loss bit-for-bit; (b) with a real permutation the
+    evaluation table returns node v's trained row pi(v) in node order;
+    (c) training runs end-to-end and the probe is finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_transformer_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from graph_transformer_tpu.data.batching import BatchBuilder
+    from graph_transformer_tpu.data.tu import load_tu_dataset
+    from graph_transformer_tpu.models.u2gnn_unsup import U2GNNUnsup
+    from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
+
+    ds = load_tu_dataset("MUTAG")
+    mcfg = ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                       ff_hidden_size=16, sampled_num=8)
+    model = U2GNNUnsup(ds.feature_dim, ds.num_nodes, mcfg)
+    params = model.init(jax.random.key(0))
+    spec = model.spec()
+    builder = BatchBuilder(ds, batch_size=4, num_neighbors=4, seed=0)
+    batch = builder.sample()
+    key = jax.random.key(1)
+    base = model.loss(params, batch, key, spec, rng=None)
+    ident = model.loss(params, batch, key, spec, rng=None,
+                       vocab_perm=jnp.arange(ds.num_nodes, dtype=jnp.int32))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(ident))
+
+    perm = jnp.asarray(
+        np.random.default_rng(3).permutation(ds.num_nodes), jnp.int32)
+    emb = np.asarray(model.node_embeddings(params, vocab_perm=perm))
+    w = np.asarray(params.ss.weight)
+    np.testing.assert_array_equal(emb, w[np.asarray(perm)])
+
+    import dataclasses as _dc
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, num_neighbors=4),
+        model=_dc.replace(mcfg, id_symmetric=True),
+        train=TrainConfig(num_epochs=1),
+    )
+    tr = UnsupTrainer(ds, cfg)
+    loss = tr.train_epoch()
+    mean, std = tr.evaluate()
+    assert np.isfinite(loss) and 0.0 <= mean <= 1.0
