@@ -41,14 +41,35 @@ def main(argv=None):
              "reference parity.",
     )
     parser.add_argument(
-        "--id_symmetric", action="store_true",
+        "--id_symmetric", action="store_true", default=None,
         help="leak control inside the loss: train node v's output-embedding "
              "row at a per-run random permuted index, cutting the id->label "
              "channel with zero data-pipeline cost (matches the "
-             "--permute_graphs numbers; runs/id_symmetric_check.json).",
+             "--permute_graphs numbers; runs/id_symmetric_check.json).  "
+             "THE DEFAULT unless --reference_parity is given.",
+    )
+    parser.add_argument(
+        "--reference_parity", action="store_true",
+        help="reproduce the reference protocol EXACTLY, including its "
+             "file-order leak: TU files are class-sorted and the "
+             "transductive global-id protocol reads the label out of "
+             "node-id statistics (measured: PTC probe 0.82 -> 0.58 on the "
+             "reference's own torch implementation once the order is "
+             "permuted, runs/torch_leak_repro.json).  Numbers produced "
+             "under this flag measure the leak, not the representation.",
     )
     args = parser.parse_args(argv)
     import dataclasses as _dc
+
+    # honest protocol by default: id-symmetric candidate indexing (verified
+    # equivalent to --permute_graphs, zero pipeline cost).  Explicit
+    # --reference_parity restores the reference's literal (leaky) protocol.
+    if args.id_symmetric is None:
+        args.id_symmetric = not args.reference_parity
+    if args.reference_parity and (args.id_symmetric
+                                  or args.permute_graphs is not None):
+        parser.error("--reference_parity excludes --id_symmetric/"
+                     "--permute_graphs")
 
     cfg = config_from_args(args)
     cfg = cfg.replace(
@@ -71,6 +92,11 @@ def main(argv=None):
         ds = permute_graphs(ds, seed=args.permute_graphs)
         print(f"# leak-free protocol: graph order permuted (seed "
               f"{args.permute_graphs})")
+    proto = ("reference-parity (FILE-ORDER LEAK ACTIVE)"
+             if args.reference_parity else
+             "leak-free (id-symmetric candidate indexing)"
+             if args.id_symmetric else "leak-free (permuted graph order)")
+    print(f"# protocol: {proto}")
     print(f"# data: {ds.num_graphs} graphs, {ds.num_nodes} nodes (vocab), "
           f"{ds.num_classes} classes")
     trainer = UnsupTrainer(ds, cfg)
