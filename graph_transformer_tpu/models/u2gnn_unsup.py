@@ -261,12 +261,27 @@ class U2GNNUnsup:
             if adj_mask is None:
                 raise ValueError("contrastive loss needs adj_mask")
             emb = params.weight if params.weight is not None else z
+            if params.weight is not None:
+                # the fork trains the VOCAB-sized table (``args_loss =
+                # Namespace(features=self.weight, ...)``,
+                # pytorch_U2GNN_UnSup.py:86-88): rows are global node ids,
+                # so slice the padded-batch mask to the vocabulary — every
+                # table row is a real node
+                V = emb.shape[0]
+                return supcon_loss(
+                    emb, mask=adj_mask[:V, :V], valid=jnp.ones(V)
+                )
             return supcon_loss(emb, mask=adj_mask, valid=batch.node_mask)
         if cfg.loss_type == "gae":
             emb = params.weight if params.weight is not None else z
             if adj_mask is None:
                 raise ValueError("gae loss needs adj_mask (target adjacency)")
-            n_real = jnp.sum(batch.node_mask)
+            if params.weight is not None:
+                V = emb.shape[0]
+                adj_mask = adj_mask[:V, :V]
+                n_real = jnp.asarray(V, jnp.float32)
+            else:
+                n_real = jnp.sum(batch.node_mask)
             n_pos = jnp.sum(adj_mask)
             norm = (n_real * n_real) / jnp.maximum(
                 2.0 * (n_real * n_real - n_pos), 1.0

@@ -228,3 +228,32 @@ def test_dense_adj_size_guard():
     ds = load_node_dataset("karate")
     with pytest.raises(ValueError, match="dense_adj"):
         ds.dense_adj(n_pad=ds.DENSE_ADJ_MAX_NODES + 1)
+
+
+def test_u2gnn_contrastive_head_padded_batch():
+    """Regression: the fork's contrastive head trains the VOCAB-sized
+    table, but the batch masks are padded — the loss must slice the mask
+    to the vocabulary (crashed with a broadcast error before round 5)."""
+    import jax
+    import numpy as np
+
+    from graph_transformer_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from graph_transformer_tpu.data.citation import sbm_synthetic
+    from graph_transformer_tpu.train.node_trainer import NodeTrainer
+
+    ds = sbm_synthetic(num_nodes=60, seed=0)
+    cfg = ExperimentConfig(
+        data=DataConfig(num_neighbors=4),
+        model=ModelConfig(model="u2gnn", num_timesteps=1,
+                          num_hidden_layers=2, ff_hidden_size=16,
+                          sampled_num=8, loss_type="contrastive"),
+        train=TrainConfig(num_epochs=1, learning_rate=0.1),
+    )
+    tr = NodeTrainer(ds, cfg)
+    assert tr.batch.n_pad > ds.num_nodes  # the padded case that crashed
+    loss = tr.train_epoch()
+    assert np.isfinite(loss)
+    acc = tr.evaluate_masks()
+    assert 0.0 <= acc <= 1.0
