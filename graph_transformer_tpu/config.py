@@ -120,6 +120,13 @@ class ModelConfig:
     # f32 reference than the recompute path (scripts/bench_stored_bwd.py,
     # runs/stored_bwd_ab.json).
     use_stored_bwd: bool = False
+    # Folded-lane [G, S·D] encoder (ops/pallas_folded.py): each
+    # neighborhood becomes ONE row of S·D lanes and every per-slot op a
+    # constant-matrix MXU contraction — no dense [R, R] attention, no
+    # 4/128-lane glue.  Measured at bench shapes: encoder grad loop
+    # 7.55 -> 4.69 ms/step over the stored path (runs/folded_ab.json).
+    # Takes precedence over use_stored_bwd on the fused sampled path.
+    use_folded: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

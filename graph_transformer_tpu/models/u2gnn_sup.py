@@ -131,7 +131,28 @@ class U2GNNSup:
                 enc.ln2_scale, enc.ln2_bias,
             )
             tag_rows, degb, self_tag, codebook = sampled_inputs
-            if cfg.use_stored_bwd:
+            from graph_transformer_tpu.ops.pallas_folded import (
+                folded_shape_ok,
+            )
+
+            if cfg.use_folded and folded_shape_ok(
+                batch.neigh.shape[1], codebook.shape[1]
+            ):
+                from graph_transformer_tpu.ops.pallas_folded import (
+                    folded_u2gnn_encoder_sampled,
+                )
+
+                # tile: 192 at the bench width (256 is ~3% faster in
+                # isolation but lands over the scoped-VMEM limit inside
+                # the train scan); 128 at wider folds (MUTAG D=7 — the
+                # bwd is within 1 MB of the limit at 192)
+                S_ = batch.neigh.shape[1]
+                tile = 192 if S_ * codebook.shape[1] <= 40 else 128
+                out = folded_u2gnn_encoder_sampled(
+                    tag_rows, degb, self_tag, codebook, stacked, seed,
+                    S_, cfg.num_timesteps, 0.5, tile,
+                )  # [N_pad, D] f32 (folded lanes, stored-residual bwd)
+            elif cfg.use_stored_bwd or cfg.use_folded:
                 from graph_transformer_tpu.ops.pallas_stored_bwd import (
                     fused_u2gnn_encoder_sampled_stored,
                 )

@@ -1,0 +1,929 @@
+"""Folded-lane [G, S·D] encoder layer — the round-4 "last structural idea",
+prototyped and measured (BASELINE.md round-4; VERDICT r4 item 7).
+
+Why: at the U2GNN shapes (S=9 neighborhood, D=4 features) the current
+per-layer kernel computes attention DENSE over the row axis — scores is
+[R, R] with R ≈ 504, of which only the 9-wide diagonal blocks matter
+(56× redundant work), at 4/128 lane occupancy for every glue op.  Folding
+each neighborhood into ONE row of S·D = 36 lanes turns every per-slot op
+into a constant-matrix MXU contraction at 36–81/128 lane occupancy and
+shrinks the attention tensors 56×:
+
+    q,k,v  [G, 36]   = x @ blockdiag(w)          (kron(I_S, w))
+    scores [G, 81]   = (q@E_q ⊙ k@E_k) @ R_s     (expand-multiply-reduce)
+    softmax          = global row max + exp + block-sum matmul (B_sum)
+    ctx    [G, 36]   = (attn@A_e ⊙ v@E_k) @ R_c
+    LN               = block-mean matmul (M_mean) + rsqrt, all in-lane
+    FFN    [G, S·F]  = y1 @ blockdiag(w1)        (inflated 9×, but the 9×
+                       lane-packing gain cancels it — measured-neutral)
+
+The expand/reduce selector matrices are 0/1 constants built once on the
+host; every op is either an MXU contraction or a [G, ≤324]-lane VPU op.
+Numerics: softmax subtracts the GLOBAL row max (a per-row constant is
+exact for every 9-block's softmax); LN uses the same eps as the row-space
+kernel.  Dropout shapes differ from the row-space kernel ([G, 81] vs
+[R, R] etc.), so rate>0 runs are a different (equally valid) PRNG stream.
+
+Measured A/B: scripts/bench_folded.py -> runs/folded_ab.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - off-TPU fallback
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAVE_PLTPU = False
+
+from graph_transformer_tpu.ops.pallas_ffn import (
+    _dropout_mask,
+    _seed_arr,
+)
+from graph_transformer_tpu.ops.pallas_u2gnn import _EPS
+
+__all__ = ["fold_rows", "folded_selectors", "folded_u2gnn_encoder",
+           "folded_u2gnn_encoder_grad", "folded_u2gnn_encoder_sampled",
+           "unfold_rows"]
+
+# The [Gt, S·F] FFN tensors are the VMEM budget (S·F = 9216 at bench
+# shapes): process the hidden dimension in chunks.  Dropout draws one
+# mask per chunk, in chunk order, in BOTH fwd and bwd — the canonical
+# draw order per layer is (attn, a, h-chunk 0..n-1, z).  The count is a
+# pure function of the folded width so fwd and bwd always agree.
+
+
+def _ffn_chunks(S: int, D: int) -> int:
+    return 2 if S * D <= 40 else 4
+
+
+def folded_shape_ok(S: int, D: int) -> bool:
+    """Applicability gate: the selector constants scale as
+    (S·S·D)·max(S·D, S·S) — fine at the TU/REDDIT shapes (S=9, D≤7:
+    ≤0.9 MB of constants) but infeasible at e.g. K=16/D=19 (S·S·D = 5491
+    lanes, ~34 MB).  Callers fall back to the row-space stored path."""
+    return S * D <= 128 and S * S * D <= 1024
+
+
+# --------------------------------------------------------- host constants
+@functools.lru_cache(maxsize=8)
+def folded_selectors(S: int, D: int):
+    """The 0/1 selector matrices for one (S, D) shape, as numpy f32.
+
+    Index convention: folded feature lane ``i*D + d`` (slot i, channel d);
+    folded score lane ``i*S + j`` (query slot i, key slot j); expanded
+    lane ``(i*S + j)*D + d``.
+    """
+    W, P, X = S * D, S * S, S * S * D
+    e_q = np.zeros((W, X), np.float32)   # q[i,d] -> (i,j,d) for all j
+    e_k = np.zeros((W, X), np.float32)   # k[j,d] -> (i,j,d) for all i
+    r_s = np.zeros((X, P), np.float32)   # sum_d (i,j,d) -> (i,j)
+    a_e = np.zeros((P, X), np.float32)   # attn[i,j] -> (i,j,d) for all d
+    r_c = np.zeros((X, W), np.float32)   # sum_j (i,j,d) -> (i,d)
+    for i in range(S):
+        for j in range(S):
+            for d in range(D):
+                x = (i * S + j) * D + d
+                e_q[i * D + d, x] = 1.0
+                e_k[j * D + d, x] = 1.0
+                r_s[x, i * S + j] = 1.0
+                a_e[i * S + j, x] = 1.0
+                r_c[x, i * D + d] = 1.0
+    b_sum = np.kron(np.eye(S, dtype=np.float32),
+                    np.ones((S, S), np.float32))      # [P, P] block sum
+    m_mean = np.kron(np.eye(S, dtype=np.float32),
+                     np.full((D, D), 1.0 / D, np.float32))  # [W, W]
+    return e_q, e_k, r_s, a_e, r_c, b_sum, m_mean
+
+
+def fold_rows(x2d: jax.Array, S: int) -> jax.Array:
+    """[G·S, D] row-space -> [G, S·D] folded (host/XLA-side relayout)."""
+    R, D = x2d.shape
+    return x2d.reshape(R // S, S * D)
+
+
+def unfold_rows(xf: jax.Array, S: int) -> jax.Array:
+    """[G, S·D] folded -> [G·S, D] row-space."""
+    G, W = xf.shape
+    return xf.reshape(G * S, W // S)
+
+
+def _bd(w, S):
+    """blockdiag: kron(I_S, w) — [S·a, S·b] from [a, b]."""
+    return jnp.kron(jnp.eye(S, dtype=w.dtype), w)
+
+
+def _tile(b, S):
+    # (1, S·len) — 2-D so the fold-vmapped runners can batch the spec
+    # (1-D full blocks fail Pallas lowering under a vmapped leading dim)
+    return jnp.tile(b, S).reshape(1, -1)
+
+
+def _ln_folded(u, m_mean, g_t, b_t):
+    """LayerNorm over each D-block of the folded lanes: M_mean both
+    computes and broadcasts the block mean."""
+    mu = jnp.dot(u, m_mean, preferred_element_type=jnp.float32)
+    d = u - mu
+    var = jnp.dot(d * d, m_mean, preferred_element_type=jnp.float32)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    return d * rstd * g_t + b_t
+
+
+def _folded_layer_fwd(x, c, p, *, S, D, rate, mm):
+    """One encoder layer over a folded [Gt, S·D] tile."""
+    keep = 1.0 - rate
+    e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
+    ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
+     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+
+    q = jnp.dot(x.astype(mm), bd_q.astype(mm),
+                preferred_element_type=jnp.float32) + bq_t
+    k = jnp.dot(x.astype(mm), bd_k.astype(mm),
+                preferred_element_type=jnp.float32) + bk_t
+    v = jnp.dot(x.astype(mm), bd_v.astype(mm),
+                preferred_element_type=jnp.float32) + bv_t
+    qe = jnp.dot(q.astype(mm), e_q.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ke = jnp.dot(k.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    s = jnp.dot((qe * ke).astype(mm), r_s.astype(mm),
+                preferred_element_type=jnp.float32) * (1.0 / math.sqrt(D))
+    # softmax per 9-block: subtracting the GLOBAL row max is exact for
+    # every block (any per-row constant cancels in the block's ratio)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.dot(e, b_sum, preferred_element_type=jnp.float32)
+    attn = e / denom
+    if rate > 0.0:
+        attn = attn * _dropout_mask(attn.shape, rate) / keep
+    ae = jnp.dot(attn.astype(mm), a_e.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ve = jnp.dot(v.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ctx = jnp.dot((ae * ve).astype(mm), r_c.astype(mm),
+                  preferred_element_type=jnp.float32)
+    a = jnp.dot(ctx.astype(mm), bd_o.astype(mm),
+                preferred_element_type=jnp.float32) + bo_t
+    if rate > 0.0:
+        a = a * _dropout_mask(a.shape, rate) / keep
+    y1 = _ln_folded(x.astype(jnp.float32) + a, m_mean, g1_t, b1_t)
+    z = _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm)
+    if rate > 0.0:
+        z = z * _dropout_mask(z.shape, rate) / keep
+    return _ln_folded(y1 + z, m_mean, g2_t, b2_t)
+
+
+def _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm):
+    """relu-FFN over FFN_CHUNKS pre-chunked hidden blocks (one dropout
+    draw each, chunk order)."""
+    keep = 1.0 - rate
+    y1m = y1.astype(mm)
+    z = None
+    for c in range(len(w1cs)):
+        h = jnp.maximum(
+            jnp.dot(y1m, w1cs[c].astype(mm),
+                    preferred_element_type=jnp.float32) + bf1cs[c], 0.0)
+        if rate > 0.0:
+            h = h * _dropout_mask(h.shape, rate) / keep
+        zc = jnp.dot(h.astype(mm), w2cs[c].astype(mm),
+                     preferred_element_type=jnp.float32)
+        z = zc if z is None else z + zc
+    return z + bf2_t
+
+
+def _fold_params(params, t, stored, S):
+    """Per-layer folded parameter set from the stacked 12-tuple.
+
+    Layout (n_p = 13 + 3·FFN_CHUNKS): 10 attention/LN1 tensors, then the
+    FFN tensors PRE-CHUNKED over the hidden lanes (the kernels never
+    lane-slice values — Mosaic rejects that under a vmapped leading dim),
+    then (bf2, ln2 scale, ln2 bias).
+    """
+    (w_in, b_in, w_out, b_out, ln1g, ln1b, w1, b1, w2, b2, ln2g,
+     ln2b) = [a[t % stored] for a in params]
+    D = w_in.shape[0]
+    wq, wk, wv = w_in[:, :D], w_in[:, D:2 * D], w_in[:, 2 * D:]
+    bq, bk, bv = b_in[:D], b_in[D:2 * D], b_in[2 * D:]
+    bd_w1 = _bd(w1, S)
+    bf1 = _tile(b1, S)
+    bd_w2 = _bd(w2, S)
+    H = bd_w1.shape[1]
+    C = _ffn_chunks(S, D)
+    hc = H // C
+    w1cs = tuple(bd_w1[:, c * hc:(c + 1) * hc] for c in range(C))
+    bf1cs = tuple(bf1[:, c * hc:(c + 1) * hc] for c in range(C))
+    w2cs = tuple(bd_w2[c * hc:(c + 1) * hc, :] for c in range(C))
+    return (
+        _bd(wq, S), _bd(wk, S), _bd(wv, S),
+        _tile(bq, S), _tile(bk, S), _tile(bv, S),
+        _bd(w_out, S), _tile(b_out, S),
+        _tile(ln1g, S), _tile(ln1b, S),
+    ) + w1cs + bf1cs + w2cs + (
+        _tile(b2, S), _tile(ln2g, S), _tile(ln2b, S),
+    )
+
+
+def _unpack_folded_params(p):
+    C = (len(p) - 13) // 3
+    base = p[:10]
+    w1cs = p[10:10 + C]
+    bf1cs = p[10 + C:10 + 2 * C]
+    w2cs = p[10 + 2 * C:10 + 3 * C]
+    bf2_t, g2_t, b2_t = p[10 + 3 * C:]
+    return base, w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t
+
+
+def _folded_kernel(seed_ref, x_ref, *refs, S, D, T, rate, n_const, n_p):
+    const = tuple(r[:] for r in refs[:n_const])
+    out_ref = refs[-1]
+    mm = jnp.bfloat16
+    h = x_ref[:].astype(jnp.float32)
+    i = pl.program_id(0)
+    for t in range(T):
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
+        p = tuple(r[:] for r in refs[n_const + t * n_p:
+                                     n_const + (t + 1) * n_p])
+        h = _folded_layer_fwd(h, const, p, S=S, D=D, rate=rate, mm=mm)
+    out_ref[:] = h[:, :D].astype(out_ref.dtype)  # slot-0 lanes
+
+
+def folded_u2gnn_encoder(x2d, params, seed, seq_len: int,
+                         num_timesteps: int, rate: float = 0.0,
+                         tile_g: int = 128, interpret: bool = False):
+    """Forward-only folded-lane twin of ``fused_u2gnn_encoder``:
+    same [N·S, D] -> [N, D] (slot-0) contract, internally [G, S·D]."""
+    S, T, D = seq_len, num_timesteps, x2d.shape[1]
+    stored = params[0].shape[0]
+    consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    layer_ps = [_fold_params(params, t, stored, S) for t in range(T)]
+    n_p = len(layer_ps[0])
+    xf = fold_rows(x2d.astype(jnp.bfloat16), S)
+    G = xf.shape[0]
+    g_pad = ((G + tile_g - 1) // tile_g) * tile_g
+    if g_pad != G:
+        xf = jnp.pad(xf, ((0, g_pad - G), (0, 0)))
+    grid = (g_pad // tile_g,)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    flat_p = [a for lp in layer_ps for a in lp]
+    out = pl.pallas_call(
+        functools.partial(_folded_kernel, S=S, D=D, T=T, rate=rate,
+                          n_const=len(consts), n_p=n_p),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((tile_g, S * D), lambda i: (i, 0))]
+        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        out_specs=pl.BlockSpec((tile_g, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g_pad, D), jnp.float32),
+        interpret=interpret,
+    )(_seed_arr(seed), xf, *consts, *flat_p)
+    return out[:G]
+
+
+# ===================================================== stored-residual bwd
+def _ln_folded_res(u, m_mean, g_t, b_t):
+    """LN with residuals: (out, uhat, rstd_expanded)."""
+    mu = jnp.dot(u, m_mean, preferred_element_type=jnp.float32)
+    d = u - mu
+    var = jnp.dot(d * d, m_mean, preferred_element_type=jnp.float32)
+    rstd = jax.lax.rsqrt(var + _EPS)  # [Gt, W], block-constant
+    uhat = d * rstd
+    return uhat * g_t + b_t, uhat, rstd
+
+
+def _folded_layer_fwd_res(x, c, p, *, S, D, rate, mm):
+    """Residual-emitting twin of :func:`_folded_layer_fwd` (same PRNG
+    draw order: attn, a, h, z)."""
+    keep = 1.0 - rate
+    e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
+    ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
+     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+
+    q = jnp.dot(x.astype(mm), bd_q.astype(mm),
+                preferred_element_type=jnp.float32) + bq_t
+    k = jnp.dot(x.astype(mm), bd_k.astype(mm),
+                preferred_element_type=jnp.float32) + bk_t
+    v = jnp.dot(x.astype(mm), bd_v.astype(mm),
+                preferred_element_type=jnp.float32) + bv_t
+    qe = jnp.dot(q.astype(mm), e_q.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ke = jnp.dot(k.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    s = jnp.dot((qe * ke).astype(mm), r_s.astype(mm),
+                preferred_element_type=jnp.float32) * (1.0 / math.sqrt(D))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.dot(e, b_sum, preferred_element_type=jnp.float32)
+    attn = e / denom
+    attn_d = (attn * _dropout_mask(attn.shape, rate) / keep
+              if rate > 0.0 else attn)
+    ae = jnp.dot(attn_d.astype(mm), a_e.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ve = jnp.dot(v.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ctx = jnp.dot((ae * ve).astype(mm), r_c.astype(mm),
+                  preferred_element_type=jnp.float32)
+    a = jnp.dot(ctx.astype(mm), bd_o.astype(mm),
+                preferred_element_type=jnp.float32) + bo_t
+    if rate > 0.0:
+        a = a * _dropout_mask(a.shape, rate) / keep
+    y1, uhat1, rstd1 = _ln_folded_res(x.astype(jnp.float32) + a, m_mean,
+                                      g1_t, b1_t)
+    z = _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm)
+    if rate > 0.0:
+        z = z * _dropout_mask(z.shape, rate) / keep
+    out, uhat2, rstd2 = _ln_folded_res(y1 + z, m_mean, g2_t, b2_t)
+    res = dict(qkv=jnp.concatenate([q, k, v], axis=1), attn=attn,
+               strip=jnp.concatenate(
+                   [ctx, y1, uhat1, uhat2, rstd1, rstd2], axis=1))
+    return out, res
+
+
+def _folded_stored_fwd_kernel(seed_ref, x_ref, *refs, S, D, T, rate,
+                              n_const, n_p):
+    const = tuple(r[:] for r in refs[:n_const])
+    n_saved = max(T - 1, 0)
+    k0 = n_const + T * n_p
+    out_ref = refs[k0]
+    saved_refs = refs[k0 + 1:k0 + 1 + n_saved]
+    qkv_refs = refs[k0 + 1 + n_saved:k0 + 1 + n_saved + T]
+    attn_refs = refs[k0 + 1 + n_saved + T:k0 + 1 + n_saved + 2 * T]
+    strip_refs = refs[k0 + 1 + n_saved + 2 * T:]
+    mm = jnp.bfloat16
+    h = x_ref[:].astype(jnp.float32)
+    i = pl.program_id(0)
+    for t in range(T):
+        if t > 0:
+            saved_refs[t - 1][:] = h.astype(saved_refs[t - 1].dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
+        p = tuple(r[:] for r in refs[n_const + t * n_p:
+                                     n_const + (t + 1) * n_p])
+        h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D, rate=rate,
+                                       mm=mm)
+        qkv_refs[t][:] = res["qkv"]
+        attn_refs[t][:] = res["attn"]
+        strip_refs[t][:] = res["strip"]
+    out_ref[:] = h[:, :D].astype(out_ref.dtype)
+
+
+def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
+                       g_ref, *refs, S, D, F, rate, t_stream):
+    """Backward of one folded layer from stored residuals; the FFN hidden
+    is the only recompute (one matmul) and dropout masks replay from the
+    layer's PRNG stream in the forward's draw order."""
+    n_p = 13 + 3 * _ffn_chunks(S, D)
+    p = tuple(r[:] for r in refs[:n_p])
+    c = tuple(r[:] for r in refs[n_p:n_p + 7])
+    dx_ref = refs[n_p + 7]
+    grad_refs = refs[n_p + 8:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
+     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+    e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
+    mm = jnp.bfloat16
+    keep = 1.0 - rate
+    W = S * D
+    x = x_ref[:].astype(jnp.float32)
+    qkv = qkv_ref[:]
+    q, k, v = qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:]
+    attn = attn_ref[:]
+    st = strip_ref[:]
+    ctx, y1, uhat1, uhat2, rstd1, rstd2 = (
+        st[:, 0:W], st[:, W:2 * W], st[:, 2 * W:3 * W],
+        st[:, 3 * W:4 * W], st[:, 4 * W:5 * W], st[:, 5 * W:6 * W])
+    g = g_ref[:].astype(jnp.float32)
+
+    n_ch = _ffn_chunks(S, D)
+    hc_w = (S * F) // n_ch
+    # replay the layer's dropout masks (fwd order: attn, a, h-chunks, z)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + t_stream + i)
+        m_attn = _dropout_mask(attn.shape, rate)
+        m_a = _dropout_mask((x.shape[0], W), rate)
+        m_hs = [_dropout_mask((x.shape[0], hc_w), rate).astype(mm)
+                for _ in range(n_ch)]
+        m_z = _dropout_mask((x.shape[0], W), rate)
+
+    def mmean(u):
+        return jnp.dot(u, m_mean, preferred_element_type=jnp.float32)
+
+    def dotT_acc(a_act, b_grad):  # aᵀ @ b without explicit transpose
+        return jax.lax.dot_general(
+            a_act.astype(mm), b_grad.astype(mm), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # grad_refs layout mirrors _fold_params: 0-9 attention/LN1, then
+    # per-chunk [10+c]=bd_w1_c, [10+C+c]=bf1_c, [10+2C+c]=bd_w2_c, then
+    # [10+3C]=bf2, [+1]=g2, [+2]=b2
+    C = n_ch
+    # LN2 backward
+    gg = g * g2_t
+    du2 = (gg - mmean(gg) - uhat2 * mmean(gg * uhat2)) * rstd2
+    grad_refs[12 + 3 * C][:] += jnp.sum(g, axis=0, keepdims=True)   # b2
+    grad_refs[11 + 3 * C][:] += jnp.sum(
+        g * uhat2, axis=0, keepdims=True)                           # g2
+    # FFN backward over the pre-chunked hidden blocks (VMEM: recompute
+    # each chunk's hidden from the stored y1; bf16 factors exact {0,2})
+    dz = du2 * m_z / keep if rate > 0.0 else du2
+    grad_refs[10 + 3 * C][:] += jnp.sum(dz, axis=0, keepdims=True)  # bf2
+    dy1 = du2
+    y1m = y1.astype(mm)
+    dzm = dz.astype(mm)
+    for cch in range(C):
+        hpre = jnp.dot(y1m, w1cs[cch].astype(mm),
+                       preferred_element_type=jnp.float32) + bf1cs[cch]
+        factor = (hpre > 0.0).astype(jnp.float32)
+        if rate > 0.0:
+            factor = factor * m_hs[cch].astype(jnp.float32) / keep
+        factor = factor.astype(mm)
+        h = (hpre * factor.astype(jnp.float32)).astype(mm)
+        dh = jnp.dot(dzm, w2cs[cch].astype(mm).T,
+                     preferred_element_type=jnp.float32).astype(mm)
+        grad_refs[10 + 2 * C + cch][:] += dotT_acc(h, dz)           # bd_w2_c
+        dhpre = dh * factor
+        dy1 = dy1 + jnp.dot(dhpre, w1cs[cch].astype(mm).T,
+                            preferred_element_type=jnp.float32)
+        grad_refs[10 + cch][:] += dotT_acc(y1, dhpre)               # bd_w1_c
+        grad_refs[10 + C + cch][:] += jnp.sum(
+            dhpre.astype(jnp.float32), axis=0, keepdims=True)       # bf1_c
+    # LN1 backward
+    gg1 = dy1 * g1_t
+    du1 = (gg1 - mmean(gg1) - uhat1 * mmean(gg1 * uhat1)) * rstd1
+    grad_refs[9][:] += jnp.sum(dy1, axis=0, keepdims=True)          # b1
+    grad_refs[8][:] += jnp.sum(dy1 * uhat1, axis=0, keepdims=True)  # g1
+    dx = du1
+    da = du1 * m_a / keep if rate > 0.0 else du1
+    dctx = jnp.dot(da.astype(mm), bd_o.astype(mm).T,
+                   preferred_element_type=jnp.float32)
+    grad_refs[6][:] += dotT_acc(ctx, da)                            # bd_o
+    grad_refs[7][:] += jnp.sum(da, axis=0, keepdims=True)           # bo
+    # ctx = (ae ⊙ ve) @ r_c
+    attn_d = attn * m_attn / keep if rate > 0.0 else attn
+    ae = jnp.dot(attn_d.astype(mm), a_e.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ve = jnp.dot(v.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    dprod = jnp.dot(dctx.astype(mm), r_c.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+    dattn_d = jnp.dot((dprod * ve).astype(mm), a_e.astype(mm).T,
+                      preferred_element_type=jnp.float32)
+    dv = jnp.dot((dprod * ae).astype(mm), e_k.astype(mm).T,
+                 preferred_element_type=jnp.float32)
+    dattn = dattn_d * m_attn / keep if rate > 0.0 else dattn_d
+    # block softmax backward
+    ds = attn * (dattn - jnp.dot(dattn * attn, b_sum,
+                                 preferred_element_type=jnp.float32))
+    ds = ds * (1.0 / math.sqrt(D))
+    qe = jnp.dot(q.astype(mm), e_q.astype(mm),
+                 preferred_element_type=jnp.float32)
+    ke = jnp.dot(k.astype(mm), e_k.astype(mm),
+                 preferred_element_type=jnp.float32)
+    dprod_s = jnp.dot(ds.astype(mm), r_s.astype(mm).T,
+                      preferred_element_type=jnp.float32)
+    dq = jnp.dot((dprod_s * ke).astype(mm), e_q.astype(mm).T,
+                 preferred_element_type=jnp.float32)
+    dk = jnp.dot((dprod_s * qe).astype(mm), e_k.astype(mm).T,
+                 preferred_element_type=jnp.float32)
+    dx = (dx
+          + jnp.dot(dq.astype(mm), bd_q.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+          + jnp.dot(dk.astype(mm), bd_k.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+          + jnp.dot(dv.astype(mm), bd_v.astype(mm).T,
+                    preferred_element_type=jnp.float32))
+    grad_refs[0][:] += dotT_acc(x, dq)                              # bd_q
+    grad_refs[1][:] += dotT_acc(x, dk)                              # bd_k
+    grad_refs[2][:] += dotT_acc(x, dv)                              # bd_v
+    grad_refs[3][:] += jnp.sum(dq, axis=0, keepdims=True)
+    grad_refs[4][:] += jnp.sum(dk, axis=0, keepdims=True)
+    grad_refs[5][:] += jnp.sum(dv, axis=0, keepdims=True)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _grad_shapes(S, D, F):
+    W, H = S * D, S * F
+    C = _ffn_chunks(S, D)
+    hc = H // C
+    return ([(W, W), (W, W), (W, W), (1, W), (1, W), (1, W),
+             (W, W), (1, W), (1, W), (1, W)]
+            + [(W, hc)] * C
+            + [(1, hc)] * C
+            + [(hc, W)] * C
+            + [(1, W), (1, W), (1, W)])
+
+
+def _reduce_folded_grads(gs, S, D, F):
+    """bd/tiled-shaped grads -> the layer's 12 true param grads."""
+    C = (len(gs) - 13) // 3
+    (dbd_q, dbd_k, dbd_v, dbq, dbk, dbv, dbd_o, dbo, dg1, db1) = gs[:10]
+    dbd_w1 = jnp.concatenate(gs[10:10 + C], axis=1)
+    dbf1 = jnp.concatenate(gs[10 + C:10 + 2 * C], axis=1)
+    dbd_w2 = jnp.concatenate(gs[10 + 2 * C:10 + 3 * C], axis=0)
+    dbf2, dg2, db2 = gs[10 + 3 * C:]
+
+    def deblock(a, p, r):  # sum_i of diagonal blocks [p, r]
+        return jnp.einsum("ipir->pr", a.reshape(S, p, S, r))
+
+    def detile(b, r):
+        return b.reshape(S, r).sum(0)
+
+    dw_in = jnp.concatenate(
+        [deblock(dbd_q, D, D), deblock(dbd_k, D, D), deblock(dbd_v, D, D)],
+        axis=1)
+    db_in = jnp.concatenate(
+        [detile(dbq, D), detile(dbk, D), detile(dbv, D)])
+    return (dw_in, db_in, deblock(dbd_o, D, D), detile(dbo, D),
+            detile(dg1, D), detile(db1, D),
+            deblock(dbd_w1, D, F), detile(dbf1, F),
+            deblock(dbd_w2, F, D), detile(dbf2, D),
+            detile(dg2, D), detile(db2, D))
+
+
+def _folded_stored_fwd_call(x2d, params, seed, S, T, rate, tile_g,
+                            interpret):
+    D = x2d.shape[1]
+    F = params[6].shape[2]
+    stored = params[0].shape[0]
+    consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    layer_ps = [_fold_params(params, t, stored, S) for t in range(T)]
+    n_p = len(layer_ps[0])
+    xf = fold_rows(x2d.astype(jnp.bfloat16), S)
+    G = xf.shape[0]
+    g_pad = ((G + tile_g - 1) // tile_g) * tile_g
+    if g_pad != G:
+        xf = jnp.pad(xf, ((0, g_pad - G), (0, 0)))
+    grid = (g_pad // tile_g,)
+    W = S * D
+    n_saved = max(T - 1, 0)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    def rowspec(w):
+        return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
+
+    flat_p = [a for lp in layer_ps for a in lp]
+    out_specs = (
+        [rowspec(D)]
+        + [rowspec(W) for _ in range(n_saved)]
+        + [rowspec(3 * W) for _ in range(T)]      # qkv
+        + [rowspec(S * S) for _ in range(T)]      # attn
+        + [rowspec(6 * W) for _ in range(T)]      # strip
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((g_pad, D), jnp.float32)]
+        + [jax.ShapeDtypeStruct((g_pad, W), jnp.bfloat16)
+           for _ in range(n_saved)]
+        + [jax.ShapeDtypeStruct((g_pad, 3 * W), jnp.float32)
+           for _ in range(T)]
+        + [jax.ShapeDtypeStruct((g_pad, S * S), jnp.float32)
+           for _ in range(T)]
+        + [jax.ShapeDtypeStruct((g_pad, 6 * W), jnp.float32)
+           for _ in range(T)]
+    )
+    outs = pl.pallas_call(
+        functools.partial(_folded_stored_fwd_kernel, S=S, D=D, T=T,
+                          rate=rate, n_const=len(consts), n_p=n_p),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)), rowspec(W)]
+        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(_seed_arr(seed), xf, *consts, *flat_p)
+    out = outs[0]
+    saved = tuple(outs[1:1 + n_saved])
+    qkvs = tuple(outs[1 + n_saved:1 + n_saved + T])
+    attns = tuple(outs[1 + n_saved + T:1 + n_saved + 2 * T])
+    strips = tuple(outs[1 + n_saved + 2 * T:])
+    return out[:G], (xf, G, saved, qkvs, attns, strips)
+
+
+def _folded_bwd1_call(x_t, qkv, attn, strip, g, layer_p, consts, seed_arr,
+                      *, S, D, F, rate, t_stream, tile_g, interpret):
+    g_pad, W = x_t.shape
+    grid = (g_pad // tile_g,)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    def rowspec(w):
+        return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
+
+    gshapes = _grad_shapes(S, D, F)
+    outs = pl.pallas_call(
+        functools.partial(_folded_bwd_kernel, S=S, D=D, F=F, rate=rate,
+                          t_stream=t_stream),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  rowspec(W), rowspec(3 * W), rowspec(S * S),
+                  rowspec(6 * W), rowspec(W)]
+        + [full(a) for a in layer_p] + [full(c) for c in consts],
+        out_specs=[rowspec(W)] + [full(jnp.zeros(s)) for s in gshapes],
+        out_shape=[jax.ShapeDtypeStruct((g_pad, W), jnp.float32)]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes],
+        interpret=interpret,
+    )(seed_arr, x_t, qkv, attn, strip, g, *layer_p, *consts)
+    return outs[0], outs[1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def folded_u2gnn_encoder_grad(x2d, params, seed, seq_len: int,
+                              num_timesteps: int, rate: float = 0.0,
+                              tile_g: int = 256, interpret: bool = False):
+    """Differentiable folded-lane encoder: same contract as
+    ``fused_u2gnn_encoder`` ([N·S, D] -> slot-0 [N, D]), with the folded
+    stored-residual backward (small folded residuals stored; only the FFN
+    hidden recomputes, one matmul; masks replay from the PRNG)."""
+    return folded_u2gnn_encoder(x2d, params, seed, seq_len, num_timesteps,
+                                rate, tile_g, interpret)
+
+
+def _folded_grad_fwd(x2d, params, seed, S, T, rate, tile_g, interpret):
+    out, (xf, G, saved, qkvs, attns, strips) = _folded_stored_fwd_call(
+        x2d, params, seed, S, T, rate, tile_g, interpret)
+    return out, (x2d, xf, params, seed, saved, qkvs, attns, strips)
+
+
+def _folded_grad_bwd(S, T, rate, tile_g, interpret, res, dout):
+    (x2d, xf, params, seed, saved, qkvs, attns, strips) = res
+    x_shape, x_dtype = x2d.shape, x2d.dtype
+    G = x_shape[0] // S
+    D = x_shape[1]
+    F = params[6].shape[2]
+    stored = params[0].shape[0]
+    W = S * D
+    g_pad = xf.shape[0]
+    n_tiles = g_pad // tile_g
+    consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    seed_arr = _seed_arr(seed)
+    # dout [G, D] -> folded [g_pad, W] with slot-0 lanes carrying it
+    g = jnp.pad(dout.astype(jnp.float32),
+                ((0, g_pad - dout.shape[0]), (0, W - D)))
+    acc = [[None] * 12 for _ in range(stored)]
+    for t in range(T - 1, -1, -1):
+        x_t = xf if t == 0 else saved[t - 1]
+        layer_p = _fold_params(params, t, stored, S)
+        g, gs = _folded_bwd1_call(
+            x_t.astype(jnp.bfloat16) if x_t.dtype != jnp.bfloat16 else x_t,
+            qkvs[t], attns[t], strips[t], g, layer_p, consts, seed_arr,
+            S=S, D=D, F=F, rate=rate, t_stream=t * n_tiles, tile_g=tile_g,
+            interpret=interpret)
+        reduced = _reduce_folded_grads(gs, S, D, F)
+        ts = t % stored
+        for j, dg in enumerate(reduced):
+            acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
+    dparams = []
+    for j, p in enumerate(params):
+        slices = [
+            (acc[ts][j] if acc[ts][j] is not None
+             else jnp.zeros(p.shape[1:], jnp.float32))
+            for ts in range(stored)
+        ]
+        dparams.append(jnp.stack(slices).astype(p.dtype))
+    dx = unfold_rows(g[:G], S)[:x_shape[0]].astype(x_dtype)
+    seed_ct = (None if seed is None
+               else np.zeros(np.shape(seed), jax.dtypes.float0))
+    return dx, tuple(dparams), seed_ct
+
+
+folded_u2gnn_encoder_grad.defvjp(_folded_grad_fwd, _folded_grad_bwd)
+
+
+# ================================================== sampled + folded variant
+def _fold_codebook(codebook, S):
+    """(repeat-selector [S, S·C], kron codebook [S·C, S·D]) so the folded
+    layer-0 input builds as ``onehot_folded @ bd_code`` — the folded twin
+    of the sampled kernel's ``onehot(tag) @ codebook``."""
+    C, D = codebook.shape
+    rep = jnp.asarray(np.kron(np.eye(S, dtype=np.float32),
+                              np.ones((1, C), np.float32)))  # [S, S·C]
+    bd_code = jnp.kron(jnp.eye(S, dtype=codebook.dtype), codebook)
+    return rep, bd_code
+
+
+def _folded_sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref,
+                               self_tag_ref, rep_ref, bdcode_ref, *refs,
+                               S, D, C, T, rate, n_const, n_p, stored_res):
+    """Sampling preamble (same PRNG stream layout as the row-space sampled
+    kernels: sampler on ``T·n_tiles + i``) + folded layer stack; with
+    ``stored_res`` also writes the folded residuals for the stored bwd."""
+    const = tuple(r[:] for r in refs[:n_const])
+    k0 = n_const + T * n_p
+    out_ref = refs[k0]
+    if stored_res:
+        x0_ref = refs[k0 + 1]
+        n_saved = max(T - 1, 0)
+        saved_refs = refs[k0 + 2:k0 + 2 + n_saved]
+        qkv_refs = refs[k0 + 2 + n_saved:k0 + 2 + n_saved + T]
+        attn_refs = refs[k0 + 2 + n_saved + T:k0 + 2 + n_saved + 2 * T]
+        strip_refs = refs[k0 + 2 + n_saved + 2 * T:]
+    i = pl.program_id(0)
+    G = tag_rows_ref.shape[0]
+
+    # ---- sample neighbor tags (disjoint stream: T·n_tiles + i)
+    pltpu.prng_seed(seed_ref[0, 0] + T * pl.num_programs(0) + i)
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits(tag_rows_ref.shape), jnp.uint32
+    )
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    deg = jnp.clip(deg_ref[:], 1, 128).astype(jnp.float32)  # hub clamp
+    idx = jnp.minimum(jnp.floor(u * deg), deg - 1.0).astype(jnp.int32)
+    tags = jnp.take_along_axis(tag_rows_ref[:], idx, axis=1)  # [G, 128]
+
+    # ---- folded layer-0 input: onehot in [G, S·C], then @ kron(I, code)
+    all_tags = jnp.concatenate(
+        [self_tag_ref[:], tags[:, : S - 1]], axis=1
+    ).astype(jnp.float32)  # [G, S]
+    tags_rep = jnp.dot(all_tags, rep_ref[:],
+                       preferred_element_type=jnp.float32)  # [G, S·C]
+    c_iota = (jax.lax.broadcasted_iota(jnp.int32, (G, S * C), 1)
+              % C).astype(jnp.float32)
+    oh = (tags_rep == c_iota).astype(jnp.float32)
+    x = jnp.dot(oh, bdcode_ref[:], preferred_element_type=jnp.float32)
+    x = x.astype(jnp.bfloat16)  # saved-dtype round trip (bwd replays this)
+    if stored_res:
+        x0_ref[:] = x
+    h = x.astype(jnp.float32)
+
+    mm = jnp.bfloat16
+    for t in range(T):
+        if stored_res and t > 0:
+            saved_refs[t - 1][:] = h.astype(saved_refs[t - 1].dtype)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
+        p = tuple(r[:] for r in refs[n_const + t * n_p:
+                                     n_const + (t + 1) * n_p])
+        if stored_res:
+            h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D,
+                                           rate=rate, mm=mm)
+            qkv_refs[t][:] = res["qkv"]
+            attn_refs[t][:] = res["attn"]
+            strip_refs[t][:] = res["strip"]
+        else:
+            h = _folded_layer_fwd(h, const, p, S=S, D=D, rate=rate, mm=mm)
+    out_ref[:] = h[:, :D].astype(out_ref.dtype)
+
+
+def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
+                             seed, S, T, rate, tile_g, stored_res,
+                             interpret):
+    from graph_transformer_tpu.sampling.pallas_sampler import TABLE_WIDTH
+
+    D = codebook.shape[1]
+    C = codebook.shape[0]
+    F = params[6].shape[2]
+    stored = params[0].shape[0]
+    W = S * D
+    consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    layer_ps = [_fold_params(params, t, stored, S) for t in range(T)]
+    n_p = len(layer_ps[0])
+    rep, bd_code = _fold_codebook(codebook, S)
+    n = tag_rows.shape[0]
+    n_pad = ((n + tile_g - 1) // tile_g) * tile_g
+    if n_pad != n:
+        pad = n_pad - n
+        tag_rows = jnp.pad(tag_rows, ((0, pad), (0, 0)))
+        deg = jnp.pad(deg, ((0, pad), (0, 0)), constant_values=1)
+        self_tag = jnp.pad(self_tag, ((0, pad), (0, 0)))
+    grid = (n_pad // tile_g,)
+    n_saved = max(T - 1, 0)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    def rowspec(w):
+        return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
+
+    flat_p = [a for lp in layer_ps for a in lp]
+    out_specs = [rowspec(D)]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, D), jnp.float32)]
+    if stored_res:
+        out_specs += (
+            [rowspec(W)]                                   # x0 folded
+            + [rowspec(W) for _ in range(n_saved)]
+            + [rowspec(3 * W) for _ in range(T)]
+            + [rowspec(S * S) for _ in range(T)]
+            + [rowspec(6 * W) for _ in range(T)]
+        )
+        out_shape += (
+            [jax.ShapeDtypeStruct((n_pad, W), jnp.bfloat16)]
+            + [jax.ShapeDtypeStruct((n_pad, W), jnp.bfloat16)
+               for _ in range(n_saved)]
+            + [jax.ShapeDtypeStruct((n_pad, 3 * W), jnp.float32)
+               for _ in range(T)]
+            + [jax.ShapeDtypeStruct((n_pad, S * S), jnp.float32)
+               for _ in range(T)]
+            + [jax.ShapeDtypeStruct((n_pad, 6 * W), jnp.float32)
+               for _ in range(T)]
+        )
+    outs = pl.pallas_call(
+        functools.partial(_folded_sampled_fwd_kernel, S=S, D=D, C=C, T=T,
+                          rate=rate, n_const=len(consts), n_p=n_p,
+                          stored_res=stored_res),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((tile_g, TABLE_WIDTH), lambda i: (i, 0)),
+                  pl.BlockSpec((tile_g, 1), lambda i: (i, 0)),
+                  pl.BlockSpec((tile_g, 1), lambda i: (i, 0)),
+                  full(rep), full(bd_code)]
+        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(_seed_arr(seed), tag_rows, deg, self_tag, rep, bd_code, *consts,
+      *flat_p)
+    if not stored_res:
+        return outs[0][:n] if isinstance(outs, (list, tuple)) else outs[:n]
+    out = outs[0][:n]
+    x0 = outs[1]
+    saved = tuple(outs[2:2 + n_saved])
+    qkvs = tuple(outs[2 + n_saved:2 + n_saved + T])
+    attns = tuple(outs[2 + n_saved + T:2 + n_saved + 2 * T])
+    strips = tuple(outs[2 + n_saved + 2 * T:])
+    return out, (x0, saved, qkvs, attns, strips)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def folded_u2gnn_encoder_sampled(tag_rows, deg, self_tag, codebook, params,
+                                 seed, seq_len: int, num_timesteps: int,
+                                 rate: float = 0.0, tile_g: int = 128,
+                                 interpret: bool = False):
+    """Sample + build codebook features + T-layer FOLDED encoder in one
+    kernel, with the folded stored-residual backward — the folded twin of
+    ``fused_u2gnn_encoder_sampled_stored``.  Same [N]-rows contract."""
+    out = _folded_sampled_fwd_call(
+        tag_rows, deg, self_tag, codebook, params, seed, seq_len,
+        num_timesteps, rate, tile_g, False, interpret)
+    return out
+
+
+def _folded_sampled_fwd_rule(tag_rows, deg, self_tag, codebook, params,
+                             seed, S, T, rate, tile_g, interpret):
+    out, (x0, saved, qkvs, attns, strips) = _folded_sampled_fwd_call(
+        tag_rows, deg, self_tag, codebook, params, seed, S, T, rate,
+        tile_g, True, interpret)
+    shapes = (tag_rows.shape, deg.shape, self_tag.shape)
+    return out, (x0, params, seed, saved, qkvs, attns, strips, shapes,
+                 codebook.shape)
+
+
+def _folded_sampled_bwd_rule(S, T, rate, tile_g, interpret, res, dout):
+    (x0, params, seed, saved, qkvs, attns, strips, shapes,
+     code_shape) = res
+    D = code_shape[1]
+    F = params[6].shape[2]
+    stored = params[0].shape[0]
+    W = S * D
+    g_pad = x0.shape[0]
+    n_tiles = g_pad // tile_g
+    consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    seed_arr = _seed_arr(seed)
+    g = jnp.pad(dout.astype(jnp.float32),
+                ((0, g_pad - dout.shape[0]), (0, W - D)))
+    acc = [[None] * 12 for _ in range(stored)]
+    for t in range(T - 1, -1, -1):
+        x_t = x0 if t == 0 else saved[t - 1]
+        layer_p = _fold_params(params, t, stored, S)
+        g, gs = _folded_bwd1_call(
+            x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
+            seed_arr, S=S, D=D, F=F, rate=rate, t_stream=t * n_tiles,
+            tile_g=tile_g, interpret=interpret)
+        reduced = _reduce_folded_grads(gs, S, D, F)
+        ts = t % stored
+        for j, dg in enumerate(reduced):
+            acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
+    dparams = []
+    for j, p in enumerate(params):
+        slices = [
+            (acc[ts][j] if acc[ts][j] is not None
+             else jnp.zeros(p.shape[1:], jnp.float32))
+            for ts in range(stored)
+        ]
+        dparams.append(jnp.stack(slices).astype(p.dtype))
+    ct_int = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (ct_int(shapes[0]), ct_int(shapes[1]), ct_int(shapes[2]),
+            jnp.zeros(code_shape, jnp.float32), tuple(dparams),
+            np.zeros(np.shape(seed), jax.dtypes.float0))
+
+
+folded_u2gnn_encoder_sampled.defvjp(_folded_sampled_fwd_rule,
+                                    _folded_sampled_bwd_rule)

@@ -50,9 +50,23 @@ def main():
     ap.add_argument("--out", default="runs/hpo/hpo_real_mutag.jsonl")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    out_f = open(args.out, "a")
 
+    # trial-level resume: completed rows in the jsonl seed the cache, so a
+    # crashed run (TPU worker restart) re-runs nothing it already measured
     cache = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "params" in r and "mean" in r:
+                    cache[json.dumps(r["params"], sort_keys=True)] = r["mean"]
+        if cache:
+            print(f"resuming: {len(cache)} measured trials preloaded",
+                  flush=True)
+    out_f = open(args.out, "a")
 
     def evaluate(params):
         key = json.dumps(params, sort_keys=True)

@@ -70,8 +70,12 @@ def main():
                     help="gate the stored-residual backward on the fused "
                          "path (use_stored_bwd=True; implies "
                          "--fused_sampler; keys get a '+stored' suffix)")
+    ap.add_argument("--folded", action="store_true",
+                    help="gate the folded-lane encoder on the fused path "
+                         "(use_folded=True; implies --fused_sampler; keys "
+                         "get a '+folded' suffix)")
     args = ap.parse_args()
-    if args.stored_bwd:
+    if args.stored_bwd or args.folded:
         args.fused_sampler = True
     out = {}
     for name in args.datasets:
@@ -85,25 +89,71 @@ def main():
                 use_pallas_whole_encoder=True,
                 use_fused_sampler=args.fused_sampler,
                 use_stored_bwd=args.stored_bwd,
+                use_folded=args.folded,
                 compute_dtype="bfloat16",
             ),
             train=TrainConfig(num_epochs=c["epochs"], learning_rate=5e-4),
         )
-        t0 = time.time()
-        runner = TenfoldVmapRunner(ds, cfg)
-        if args.fused_sampler:
-            # a '+fused' PASS row must certify the fused kernel, not a
-            # silent fallback to the two-pass path
-            assert runner._tag_table is not None, (
-                "fused path did not engage (TPU? codebook? degree<=128?)"
+        kernel = None
+        folded_here = False
+        if args.folded:
+            from graph_transformer_tpu.ops.pallas_folded import (
+                folded_shape_ok,
             )
-        best, mean, std = runner.run(
-            log_fn=lambda m: print(f"[{name}] {m}", flush=True)
-        )
+
+            # the folded path shape-gates (selector constants scale as
+            # S²·D); off-gate datasets run the stored fallback and the
+            # row must say so
+            folded_here = folded_shape_ok(c["K"] + 1, ds.feature_dim)
+            kernel = ("folded (sequential CV: the vmapped runner "
+                      "exceeds scoped VMEM at this fold width)"
+                      if folded_here else "stored-fallback (shape gate)")
+        t0 = time.time()
+        if folded_here:
+            # sequential per-fold CV through SupTrainer — the same
+            # model.apply folded dispatch the bench runs
+            import dataclasses as _dc
+
+            import numpy as _np
+
+            from graph_transformer_tpu.data.splits import (
+                stratified_kfold_indices,
+            )
+            from graph_transformer_tpu.train.sup_trainer import SupTrainer
+
+            cfg = cfg.replace(train=_dc.replace(cfg.train,
+                                                scan_epochs=True))
+            accs = []
+            for fi, (tr, te) in enumerate(
+                stratified_kfold_indices(ds.labels, 10, seed=0)
+            ):
+                trainer = SupTrainer(ds, cfg, train_idx=tr, test_idx=te)
+                assert trainer._tag_table is not None
+                b = 0.0
+                for _ in range(cfg.train.num_epochs):
+                    trainer.train_epoch_stacked()
+                    b = max(b, trainer.evaluate())
+                accs.append(b)
+                print(f"[{name}] fold {fi}: best {b:.4f}", flush=True)
+            best = _np.asarray(accs)
+            mean, std = float(_np.mean(accs)), float(_np.std(accs))
+        else:
+            runner = TenfoldVmapRunner(ds, cfg)
+            if args.fused_sampler:
+                # a '+fused' PASS row must certify the fused kernel, not
+                # a silent fallback to the two-pass path
+                assert runner._tag_table is not None, (
+                    "fused path did not engage (TPU? codebook? "
+                    "degree<=128?)"
+                )
+            best, mean, std = runner.run(
+                log_fn=lambda m: print(f"[{name}] {m}", flush=True)
+            )
         dt = time.time() - t0
         ref = xla_reference(name)
         gap = abs(mean - ref["mean"]) if ref else None
-        out_key = name + ("+stored" if args.stored_bwd
+        out_key = name + ("+folded" if args.folded
+                          else "+stored" if args.stored_bwd
                           else "+fused" if args.fused_sampler else "")
         out[out_key] = {
             "hybrid_bf16": {"mean": mean, "std": std, "folds": best.tolist()},
@@ -112,6 +162,7 @@ def main():
             "abs_gap": gap,
             "within_fold_noise": (gap is not None and gap <= args.threshold),
             "config": c,
+            "kernel": kernel,
             "seconds": dt,
         }
         print(f"{out_key}: hybrid {mean:.4f}±{std:.4f}"
