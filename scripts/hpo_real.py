@@ -42,13 +42,48 @@ SPACE = [
 ]
 
 
+def eval_one(dataset, epochs, params):
+    """One trial in THIS process (used by the subprocess runner)."""
+    ds = load_tu_dataset(dataset, params["degree_as_tag"])
+    cfg = ExperimentConfig(
+        data=DataConfig(
+            dataset=dataset, batch_size=4,
+            num_neighbors=int(params["num_neighbors"]),
+            degree_as_tag=params["degree_as_tag"],
+        ),
+        model=ModelConfig(
+            num_timesteps=int(params["num_timesteps"]),
+            num_hidden_layers=int(params["num_hidden_layers"]),
+            ff_hidden_size=1024,
+        ),
+        train=TrainConfig(
+            learning_rate=float(params["learning_rate"]),
+            num_epochs=epochs,
+        ),
+    )
+    _, mean, std = run_cv_on_device(ds, cfg)
+    return mean, std
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="MUTAG")
     ap.add_argument("--trials", type=int, default=12)
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--out", default="runs/hpo/hpo_real_mutag.jsonl")
+    ap.add_argument("--eval-one", default=None, metavar="PARAMS_JSON",
+                    help="internal: run one trial and print its JSON")
+    ap.add_argument("--subprocess", action="store_true",
+                    help="run each trial in a child process: a TPU-worker "
+                         "crash records a failed trial instead of killing "
+                         "the whole optimization")
     args = ap.parse_args()
+    if args.eval_one is not None:
+        params = json.loads(args.eval_one)
+        mean, std = eval_one(args.dataset, args.epochs, params)
+        print("EVAL_RESULT " + json.dumps(
+            {"mean": round(mean, 4), "std": round(std, 4)}), flush=True)
+        return
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
 
     # trial-level resume: completed rows in the jsonl seed the cache, so a
@@ -90,9 +125,31 @@ def main():
             ),
         )
         t0 = time.time()
-        _, mean, std = run_cv_on_device(ds, cfg)
+        if args.subprocess:
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--dataset", args.dataset, "--epochs", str(args.epochs),
+                 "--eval-one", json.dumps(params)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            mean = std = 0.0
+            crashed = True
+            for line in proc.stdout.splitlines():
+                if line.startswith("EVAL_RESULT "):
+                    r = json.loads(line[len("EVAL_RESULT "):])
+                    mean, std = r["mean"], r["std"]
+                    crashed = False
+            if crashed:
+                print(f"trial CRASHED (worker fault), scoring 0: {params}",
+                      flush=True)
+        else:
+            _, mean, std = run_cv_on_device(ds, cfg)
+            crashed = False
         out_f.write(json.dumps({
             "params": params, "mean": round(mean, 4), "std": round(std, 4),
+            **({"crashed": True} if crashed else {}),
             "wall_s": round(time.time() - t0, 1),
         }) + "\n")
         out_f.flush()
