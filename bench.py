@@ -92,7 +92,8 @@ def main():
             use_stored_bwd=os.environ.get("GT_STORED_BWD", "1") == "1",
             # folded-lane [G, S·D] encoder (round-5): no dense [R, R]
             # attention, every per-slot op a constant-matrix MXU
-            # contraction.  Isolated grad loop 7.55 -> 4.69 ms/step
+            # contraction; the last layer runs slot0-only (S× less work).
+            # Isolated grad loop 7.53 -> 3.83 ms/step
             # (runs/folded_ab.json).  GT_FOLDED=0 reverts.
             use_folded=os.environ.get("GT_FOLDED", "1") == "1",
         ),

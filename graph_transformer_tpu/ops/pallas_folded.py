@@ -104,6 +104,28 @@ def folded_selectors(S: int, D: int):
     return e_q, e_k, r_s, a_e, r_c, b_sum, m_mean
 
 
+@functools.lru_cache(maxsize=8)
+def folded_slot0_selectors(S: int, D: int):
+    """Selectors for the slot0-only LAST layer: only the slot-0 row's
+    output is consumed, so the last layer computes S× less — scores
+    [G, S], ctx [G, D], FFN in raw [D, F] space."""
+    W = S * D
+    e_q0 = np.zeros((W, W), np.float32)   # q[0,d] -> (j,d) for all j
+    r_s0 = np.zeros((W, S), np.float32)   # sum_d (j,d) -> j
+    a0 = np.zeros((S, W), np.float32)     # attn0[j] -> (j,d) for all d
+    r_c0 = np.zeros((W, D), np.float32)   # sum_j (j,d) -> d
+    p0 = np.zeros((W, D), np.float32)     # slot-0 lane extractor
+    for j in range(S):
+        for d in range(D):
+            e_q0[d, j * D + d] = 1.0
+            r_s0[j * D + d, j] = 1.0
+            a0[j, j * D + d] = 1.0
+            r_c0[j * D + d, d] = 1.0
+    for d in range(D):
+        p0[d, d] = 1.0
+    return e_q0, r_s0, a0, r_c0, p0
+
+
 def fold_rows(x2d: jax.Array, S: int) -> jax.Array:
     """[G·S, D] row-space -> [G, S·D] folded (host/XLA-side relayout)."""
     R, D = x2d.shape
@@ -231,6 +253,87 @@ def _fold_params(params, t, stored, S):
     )
 
 
+def _slot0_extras(params, t, stored):
+    """Raw (unfolded) weights the slot0 last layer needs: w_out [D, D],
+    w1 [D, F], b1 [1, F], w2 [F, D].  (Shared LN scales/biases and the
+    remaining biases are recovered in-kernel from the tiled forms via
+    the p0 extractor.)"""
+    (w_in, b_in, w_out, b_out, ln1g, ln1b, w1, b1, w2, b2, ln2g,
+     ln2b) = [a[t % stored] for a in params]
+    return (w_out, w1, b1.reshape(1, -1), w2)
+
+
+def _ln_lanes(u, g, b):
+    """Plain LayerNorm over the last (D-lane) axis with residuals."""
+    mu = jnp.mean(u, axis=-1, keepdims=True)
+    d = u - mu
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    uhat = d * rstd
+    return uhat * g + b, uhat, rstd
+
+
+def _folded_layer_fwd_slot0(x, c, c0, p, extras, *, S, D, rate, mm,
+                            want_res):
+    """Slot0-only LAST layer over a folded [Gt, S·D] tile -> [Gt, D].
+    PRNG draw order: (attn0 [G,S], a [G,D], h [G,F], z [G,D])."""
+    keep = 1.0 - rate
+    e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
+    e_q0, r_s0, a0_sel, r_c0, p0 = c0
+    ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
+     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+    w_out_raw, w1_raw, b1_raw, w2_raw = extras
+
+    q = jnp.dot(x.astype(mm), bd_q.astype(mm),
+                preferred_element_type=jnp.float32) + bq_t
+    k = jnp.dot(x.astype(mm), bd_k.astype(mm),
+                preferred_element_type=jnp.float32) + bk_t
+    v = jnp.dot(x.astype(mm), bd_v.astype(mm),
+                preferred_element_type=jnp.float32) + bv_t
+    q0e = jnp.dot(q.astype(mm), e_q0.astype(mm),
+                  preferred_element_type=jnp.float32)
+    s0 = jnp.dot((q0e * k).astype(mm), r_s0.astype(mm),
+                 preferred_element_type=jnp.float32) * (1.0 / math.sqrt(D))
+    m = jnp.max(s0, axis=-1, keepdims=True)
+    e = jnp.exp(s0 - m)
+    attn0 = e / jnp.sum(e, axis=-1, keepdims=True)  # [G, S], one block
+    attn0_d = (attn0 * _dropout_mask(attn0.shape, rate) / keep
+               if rate > 0.0 else attn0)
+    av = jnp.dot(attn0_d.astype(mm), a0_sel.astype(mm),
+                 preferred_element_type=jnp.float32) * v
+    ctx0 = jnp.dot(av.astype(mm), r_c0.astype(mm),
+                   preferred_element_type=jnp.float32)  # [G, D]
+    a = jnp.dot(ctx0.astype(mm), w_out_raw.astype(mm),
+                preferred_element_type=jnp.float32)         + jnp.dot(bo_t, p0, preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        a = a * _dropout_mask(a.shape, rate) / keep
+    x0 = jnp.dot(x.astype(jnp.float32), p0,
+                 preferred_element_type=jnp.float32)
+    g1_0 = jnp.dot(g1_t, p0, preferred_element_type=jnp.float32)
+    b1_0 = jnp.dot(b1_t, p0, preferred_element_type=jnp.float32)
+    y1, uhat1, rstd1 = _ln_lanes(x0 + a, g1_0, b1_0)
+    hpre = jnp.dot(y1.astype(mm), w1_raw.astype(mm),
+                   preferred_element_type=jnp.float32) + b1_raw
+    h = jnp.maximum(hpre, 0.0)
+    if rate > 0.0:
+        h = h * _dropout_mask(h.shape, rate) / keep
+    z = jnp.dot(h.astype(mm), w2_raw.astype(mm),
+                preferred_element_type=jnp.float32)         + jnp.dot(bf2_t, p0, preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        z = z * _dropout_mask(z.shape, rate) / keep
+    g2_0 = jnp.dot(g2_t, p0, preferred_element_type=jnp.float32)
+    b2_0 = jnp.dot(b2_t, p0, preferred_element_type=jnp.float32)
+    out, uhat2, rstd2 = _ln_lanes(y1 + z, g2_0, b2_0)
+    if not want_res:
+        return out, None
+    ones_d = jnp.ones((1, D), jnp.float32)
+    res = dict(qkv=jnp.concatenate([q, k, v], axis=1), attn0=attn0,
+               strip=jnp.concatenate(
+                   [ctx0, y1, uhat1, uhat2,
+                    rstd1 * ones_d, rstd2 * ones_d], axis=1))
+    return out, res
+
+
 def _unpack_folded_params(p):
     C = (len(p) - 13) // 3
     base = p[:10]
@@ -243,17 +346,25 @@ def _unpack_folded_params(p):
 
 def _folded_kernel(seed_ref, x_ref, *refs, S, D, T, rate, n_const, n_p):
     const = tuple(r[:] for r in refs[:n_const])
-    out_ref = refs[-1]
+    c0 = tuple(r[:] for r in refs[n_const:n_const + 5])
+    k0 = n_const + 5 + T * n_p
+    extras = tuple(r[:] for r in refs[k0:k0 + 4])
+    out_ref = refs[k0 + 4]
     mm = jnp.bfloat16
     h = x_ref[:].astype(jnp.float32)
     i = pl.program_id(0)
     for t in range(T):
         if rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
-        p = tuple(r[:] for r in refs[n_const + t * n_p:
-                                     n_const + (t + 1) * n_p])
-        h = _folded_layer_fwd(h, const, p, S=S, D=D, rate=rate, mm=mm)
-    out_ref[:] = h[:, :D].astype(out_ref.dtype)  # slot-0 lanes
+        p = tuple(r[:] for r in refs[n_const + 5 + t * n_p:
+                                     n_const + 5 + (t + 1) * n_p])
+        if t == T - 1:
+            h, _ = _folded_layer_fwd_slot0(h, const, c0, p, extras, S=S,
+                                           D=D, rate=rate, mm=mm,
+                                           want_res=False)
+        else:
+            h = _folded_layer_fwd(h, const, p, S=S, D=D, rate=rate, mm=mm)
+    out_ref[:] = h.astype(out_ref.dtype)  # [Gt, D] slot-0 output
 
 
 def folded_u2gnn_encoder(x2d, params, seed, seq_len: int,
@@ -276,6 +387,8 @@ def folded_u2gnn_encoder(x2d, params, seed, seq_len: int,
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
 
+    c0 = tuple(jnp.asarray(c) for c in folded_slot0_selectors(S, D))
+    extras = _slot0_extras(params, T - 1, stored)
     flat_p = [a for lp in layer_ps for a in lp]
     out = pl.pallas_call(
         functools.partial(_folded_kernel, S=S, D=D, T=T, rate=rate,
@@ -283,11 +396,12 @@ def folded_u2gnn_encoder(x2d, params, seed, seq_len: int,
         grid=grid,
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
                   pl.BlockSpec((tile_g, S * D), lambda i: (i, 0))]
-        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        + [full(c) for c in consts] + [full(c) for c in c0]
+        + [full(a) for a in flat_p] + [full(a) for a in extras],
         out_specs=pl.BlockSpec((tile_g, D), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((g_pad, D), jnp.float32),
         interpret=interpret,
-    )(_seed_arr(seed), xf, *consts, *flat_p)
+    )(_seed_arr(seed), xf, *consts, *c0, *flat_p, *extras)
     return out[:G]
 
 
@@ -353,13 +467,16 @@ def _folded_layer_fwd_res(x, c, p, *, S, D, rate, mm):
 def _folded_stored_fwd_kernel(seed_ref, x_ref, *refs, S, D, T, rate,
                               n_const, n_p):
     const = tuple(r[:] for r in refs[:n_const])
+    c0 = tuple(r[:] for r in refs[n_const:n_const + 5])
     n_saved = max(T - 1, 0)
-    k0 = n_const + T * n_p
-    out_ref = refs[k0]
-    saved_refs = refs[k0 + 1:k0 + 1 + n_saved]
-    qkv_refs = refs[k0 + 1 + n_saved:k0 + 1 + n_saved + T]
-    attn_refs = refs[k0 + 1 + n_saved + T:k0 + 1 + n_saved + 2 * T]
-    strip_refs = refs[k0 + 1 + n_saved + 2 * T:]
+    kp = n_const + 5
+    k0 = kp + T * n_p
+    extras = tuple(r[:] for r in refs[k0:k0 + 4])
+    out_ref = refs[k0 + 4]
+    saved_refs = refs[k0 + 5:k0 + 5 + n_saved]
+    qkv_refs = refs[k0 + 5 + n_saved:k0 + 5 + n_saved + T]
+    attn_refs = refs[k0 + 5 + n_saved + T:k0 + 5 + n_saved + 2 * T]
+    strip_refs = refs[k0 + 5 + n_saved + 2 * T:]
     mm = jnp.bfloat16
     h = x_ref[:].astype(jnp.float32)
     i = pl.program_id(0)
@@ -368,14 +485,19 @@ def _folded_stored_fwd_kernel(seed_ref, x_ref, *refs, S, D, T, rate,
             saved_refs[t - 1][:] = h.astype(saved_refs[t - 1].dtype)
         if rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
-        p = tuple(r[:] for r in refs[n_const + t * n_p:
-                                     n_const + (t + 1) * n_p])
-        h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D, rate=rate,
-                                       mm=mm)
+        p = tuple(r[:] for r in refs[kp + t * n_p:kp + (t + 1) * n_p])
+        if t == T - 1:
+            h, res = _folded_layer_fwd_slot0(h, const, c0, p, extras,
+                                             S=S, D=D, rate=rate, mm=mm,
+                                             want_res=True)
+            attn_refs[t][:] = res["attn0"]
+        else:
+            h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D,
+                                           rate=rate, mm=mm)
+            attn_refs[t][:] = res["attn"]
         qkv_refs[t][:] = res["qkv"]
-        attn_refs[t][:] = res["attn"]
         strip_refs[t][:] = res["strip"]
-    out_ref[:] = h[:, :D].astype(out_ref.dtype)
+    out_ref[:] = h.astype(out_ref.dtype)  # [Gt, D] slot-0 output
 
 
 def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
@@ -518,6 +640,193 @@ def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
+def _folded_bwd0_kernel(seed_ref, x_ref, qkv_ref, attn0_ref, strip_ref,
+                        g_ref, *refs, S, D, F, rate, t_stream):
+    """Backward of the slot0-only LAST layer: dout [Gt, D] in, dx
+    [Gt, S·D] out.  Draw order replay: (attn0, a, h, z)."""
+    n_p = 13 + 3 * _ffn_chunks(S, D)
+    p = tuple(r[:] for r in refs[:n_p])
+    c = tuple(r[:] for r in refs[n_p:n_p + 7])
+    c0 = tuple(r[:] for r in refs[n_p + 7:n_p + 12])
+    extras = tuple(r[:] for r in refs[n_p + 12:n_p + 16])
+    dx_ref = refs[n_p + 16]
+    grad_refs = refs[n_p + 17:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for ref in grad_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
+     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+    e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
+    e_q0, r_s0, a0_sel, r_c0, p0 = c0
+    w_out_raw, w1_raw, b1_raw, w2_raw = extras
+    mm = jnp.bfloat16
+    keep = 1.0 - rate
+    W = S * D
+    x = x_ref[:].astype(jnp.float32)
+    qkv = qkv_ref[:]
+    q, k, v = qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:]
+    attn0 = attn0_ref[:]
+    st = strip_ref[:]
+    ctx0, y1, uhat1, uhat2, rstd1, rstd2 = (
+        st[:, 0:D], st[:, D:2 * D], st[:, 2 * D:3 * D],
+        st[:, 3 * D:4 * D], st[:, 4 * D:5 * D], st[:, 5 * D:6 * D])
+    g = g_ref[:].astype(jnp.float32)  # [Gt, D]
+
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0, 0] + t_stream + i)
+        m_attn0 = _dropout_mask(attn0.shape, rate)
+        m_a = _dropout_mask((x.shape[0], D), rate)
+        m_h = _dropout_mask((x.shape[0], F), rate).astype(mm)
+        m_z = _dropout_mask((x.shape[0], D), rate)
+
+    def dotT_acc(a_act, b_grad):
+        return jax.lax.dot_general(
+            a_act.astype(mm), b_grad.astype(mm), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def ln_bwd(dout, uhat, rstd, gg_scale):
+        gg = dout * gg_scale
+        du = (gg - jnp.mean(gg, axis=-1, keepdims=True)
+              - uhat * jnp.mean(gg * uhat, axis=-1, keepdims=True)) * rstd
+        return du
+
+    g1_0 = jnp.dot(g1_t, p0, preferred_element_type=jnp.float32)
+    g2_0 = jnp.dot(g2_t, p0, preferred_element_type=jnp.float32)
+
+    # LN2 bwd ([Gt, D] lanes)
+    du2 = ln_bwd(g, uhat2, rstd2, g2_0)
+    grad_refs[15][:] += jnp.sum(g, axis=0, keepdims=True)           # b2ln
+    grad_refs[14][:] += jnp.sum(g * uhat2, axis=0, keepdims=True)   # g2ln
+    # FFN bwd (raw [D, F] weights; hidden recomputed from stored y1)
+    dz = du2 * m_z / keep if rate > 0.0 else du2
+    grad_refs[13][:] += jnp.sum(dz, axis=0, keepdims=True)          # b2
+    hpre = jnp.dot(y1.astype(mm), w1_raw.astype(mm),
+                   preferred_element_type=jnp.float32) + b1_raw
+    factor = (hpre > 0.0).astype(jnp.float32)
+    if rate > 0.0:
+        factor = factor * m_h.astype(jnp.float32) / keep
+    factor = factor.astype(mm)
+    h = (hpre * factor.astype(jnp.float32)).astype(mm)
+    dh = jnp.dot(dz.astype(mm), w2_raw.astype(mm).T,
+                 preferred_element_type=jnp.float32).astype(mm)
+    grad_refs[12][:] += dotT_acc(h, dz)                             # w2
+    dhpre = dh * factor
+    dy1 = du2 + jnp.dot(dhpre, w1_raw.astype(mm).T,
+                        preferred_element_type=jnp.float32)
+    grad_refs[10][:] += dotT_acc(y1, dhpre)                         # w1
+    grad_refs[11][:] += jnp.sum(
+        dhpre.astype(jnp.float32), axis=0, keepdims=True)           # b1
+    # LN1 bwd
+    du1 = ln_bwd(dy1, uhat1, rstd1, g1_0)
+    grad_refs[9][:] += jnp.sum(dy1, axis=0, keepdims=True)          # b1ln
+    grad_refs[8][:] += jnp.sum(dy1 * uhat1, axis=0, keepdims=True)  # g1ln
+    # residual: x0 = x @ p0 -> dx gets du1 placed at slot-0 lanes
+    dx = jnp.dot(du1.astype(mm), p0.astype(mm).T,
+                 preferred_element_type=jnp.float32)
+    da = du1 * m_a / keep if rate > 0.0 else du1
+    dctx0 = jnp.dot(da.astype(mm), w_out_raw.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+    grad_refs[6][:] += dotT_acc(ctx0, da)                           # w_out
+    grad_refs[7][:] += jnp.sum(da, axis=0, keepdims=True)           # b_out
+    # ctx0 = (attn0_d @ a0 ⊙ v) @ r_c0
+    attn0_d = attn0 * m_attn0 / keep if rate > 0.0 else attn0
+    ae0 = jnp.dot(attn0_d.astype(mm), a0_sel.astype(mm),
+                  preferred_element_type=jnp.float32)
+    dav = jnp.dot(dctx0.astype(mm), r_c0.astype(mm).T,
+                  preferred_element_type=jnp.float32)
+    dattn0_d = jnp.dot((dav * v).astype(mm), a0_sel.astype(mm).T,
+                       preferred_element_type=jnp.float32)
+    dv = dav * ae0
+    dattn0 = dattn0_d * m_attn0 / keep if rate > 0.0 else dattn0_d
+    ds0 = attn0 * (dattn0 - jnp.sum(dattn0 * attn0, axis=-1,
+                                    keepdims=True))
+    ds0 = ds0 * (1.0 / math.sqrt(D))
+    q0e = jnp.dot(q.astype(mm), e_q0.astype(mm),
+                  preferred_element_type=jnp.float32)
+    dprod = jnp.dot(ds0.astype(mm), r_s0.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+    dq = jnp.dot((dprod * k).astype(mm), e_q0.astype(mm).T,
+                 preferred_element_type=jnp.float32)
+    dk = dprod * q0e
+    dx = (dx
+          + jnp.dot(dq.astype(mm), bd_q.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+          + jnp.dot(dk.astype(mm), bd_k.astype(mm).T,
+                    preferred_element_type=jnp.float32)
+          + jnp.dot(dv.astype(mm), bd_v.astype(mm).T,
+                    preferred_element_type=jnp.float32))
+    grad_refs[0][:] += dotT_acc(x, dq)
+    grad_refs[1][:] += dotT_acc(x, dk)
+    grad_refs[2][:] += dotT_acc(x, dv)
+    grad_refs[3][:] += jnp.sum(dq, axis=0, keepdims=True)
+    grad_refs[4][:] += jnp.sum(dk, axis=0, keepdims=True)
+    grad_refs[5][:] += jnp.sum(dv, axis=0, keepdims=True)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _grad_shapes_slot0(S, D, F):
+    W = S * D
+    return [(W, W), (W, W), (W, W), (1, W), (1, W), (1, W),
+            (D, D), (1, D), (1, D), (1, D),
+            (D, F), (1, F), (F, D), (1, D), (1, D), (1, D)]
+
+
+def _reduce_slot0_grads(gs, S, D, F):
+    """slot0-layer grads -> the layer's 12 true param grads (attention
+    weights deblock; everything else is already raw)."""
+    (dbd_q, dbd_k, dbd_v, dbq, dbk, dbv, dw_out, dbo, dg1, db1ln,
+     dw1, db1, dw2, db2, dg2, db2ln) = gs
+
+    def deblock(a, pdim, r):
+        return jnp.einsum("ipir->pr", a.reshape(S, pdim, S, r))
+
+    def detile(b, r):
+        return b.reshape(S, r).sum(0)
+
+    dw_in = jnp.concatenate(
+        [deblock(dbd_q, D, D), deblock(dbd_k, D, D), deblock(dbd_v, D, D)],
+        axis=1)
+    db_in = jnp.concatenate(
+        [detile(dbq, D), detile(dbk, D), detile(dbv, D)])
+    return (dw_in, db_in, dw_out, dbo[0], dg1[0], db1ln[0],
+            dw1, db1[0], dw2, db2[0], dg2[0], db2ln[0])
+
+
+def _folded_bwd0_call(x_t, qkv, attn0, strip, g, layer_p, consts, c0,
+                      extras, seed_arr, *, S, D, F, rate, t_stream,
+                      tile_g, interpret):
+    g_pad, W = x_t.shape
+    grid = (g_pad // tile_g,)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+
+    def rowspec(w):
+        return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
+
+    gshapes = _grad_shapes_slot0(S, D, F)
+    outs = pl.pallas_call(
+        functools.partial(_folded_bwd0_kernel, S=S, D=D, F=F, rate=rate,
+                          t_stream=t_stream),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
+                  rowspec(W), rowspec(3 * W), rowspec(S),
+                  rowspec(6 * D), rowspec(D)]
+        + [full(a) for a in layer_p] + [full(cc) for cc in consts]
+        + [full(cc) for cc in c0] + [full(a) for a in extras],
+        out_specs=[rowspec(W)] + [full(jnp.zeros(sh)) for sh in gshapes],
+        out_shape=[jax.ShapeDtypeStruct((g_pad, W), jnp.float32)]
+        + [jax.ShapeDtypeStruct(sh, jnp.float32) for sh in gshapes],
+        interpret=interpret,
+    )(seed_arr, x_t, qkv, attn0, strip, g, *layer_p, *consts, *c0,
+      *extras)
+    return outs[0], outs[1:]
+
+
 def _grad_shapes(S, D, F):
     W, H = S * D, S * F
     C = _ffn_chunks(S, D)
@@ -580,13 +889,22 @@ def _folded_stored_fwd_call(x2d, params, seed, S, T, rate, tile_g,
     def rowspec(w):
         return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
 
+    c0 = tuple(jnp.asarray(c) for c in folded_slot0_selectors(S, D))
+    extras = _slot0_extras(params, T - 1, stored)
     flat_p = [a for lp in layer_ps for a in lp]
+
+    def attn_w(t):
+        return S if t == T - 1 else S * S
+
+    def strip_w(t):
+        return 6 * D if t == T - 1 else 6 * W
+
     out_specs = (
         [rowspec(D)]
         + [rowspec(W) for _ in range(n_saved)]
         + [rowspec(3 * W) for _ in range(T)]      # qkv
-        + [rowspec(S * S) for _ in range(T)]      # attn
-        + [rowspec(6 * W) for _ in range(T)]      # strip
+        + [rowspec(attn_w(t)) for t in range(T)]  # attn (slot0 last)
+        + [rowspec(strip_w(t)) for t in range(T)]
     )
     out_shape = (
         [jax.ShapeDtypeStruct((g_pad, D), jnp.float32)]
@@ -594,21 +912,22 @@ def _folded_stored_fwd_call(x2d, params, seed, S, T, rate, tile_g,
            for _ in range(n_saved)]
         + [jax.ShapeDtypeStruct((g_pad, 3 * W), jnp.float32)
            for _ in range(T)]
-        + [jax.ShapeDtypeStruct((g_pad, S * S), jnp.float32)
-           for _ in range(T)]
-        + [jax.ShapeDtypeStruct((g_pad, 6 * W), jnp.float32)
-           for _ in range(T)]
+        + [jax.ShapeDtypeStruct((g_pad, attn_w(t)), jnp.float32)
+           for t in range(T)]
+        + [jax.ShapeDtypeStruct((g_pad, strip_w(t)), jnp.float32)
+           for t in range(T)]
     )
     outs = pl.pallas_call(
         functools.partial(_folded_stored_fwd_kernel, S=S, D=D, T=T,
                           rate=rate, n_const=len(consts), n_p=n_p),
         grid=grid,
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)), rowspec(W)]
-        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        + [full(c) for c in consts] + [full(c) for c in c0]
+        + [full(a) for a in flat_p] + [full(a) for a in extras],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(_seed_arr(seed), xf, *consts, *flat_p)
+    )(_seed_arr(seed), xf, *consts, *c0, *flat_p, *extras)
     out = outs[0]
     saved = tuple(outs[1:1 + n_saved])
     qkvs = tuple(outs[1 + n_saved:1 + n_saved + T])
@@ -674,20 +993,31 @@ def _folded_grad_bwd(S, T, rate, tile_g, interpret, res, dout):
     g_pad = xf.shape[0]
     n_tiles = g_pad // tile_g
     consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    c0 = tuple(jnp.asarray(c) for c in folded_slot0_selectors(S, D))
+    extras = _slot0_extras(params, T - 1, stored)
     seed_arr = _seed_arr(seed)
-    # dout [G, D] -> folded [g_pad, W] with slot-0 lanes carrying it
+    # dout [G, D], padded on rows only — the slot0 last-layer backward
+    # consumes the D-lane cotangent directly
     g = jnp.pad(dout.astype(jnp.float32),
-                ((0, g_pad - dout.shape[0]), (0, W - D)))
+                ((0, g_pad - dout.shape[0]), (0, 0)))
     acc = [[None] * 12 for _ in range(stored)]
     for t in range(T - 1, -1, -1):
         x_t = xf if t == 0 else saved[t - 1]
         layer_p = _fold_params(params, t, stored, S)
-        g, gs = _folded_bwd1_call(
-            x_t.astype(jnp.bfloat16) if x_t.dtype != jnp.bfloat16 else x_t,
-            qkvs[t], attns[t], strips[t], g, layer_p, consts, seed_arr,
-            S=S, D=D, F=F, rate=rate, t_stream=t * n_tiles, tile_g=tile_g,
-            interpret=interpret)
-        reduced = _reduce_folded_grads(gs, S, D, F)
+        x_t = (x_t.astype(jnp.bfloat16)
+               if x_t.dtype != jnp.bfloat16 else x_t)
+        if t == T - 1:
+            g, gs = _folded_bwd0_call(
+                x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
+                c0, extras, seed_arr, S=S, D=D, F=F, rate=rate,
+                t_stream=t * n_tiles, tile_g=tile_g, interpret=interpret)
+            reduced = _reduce_slot0_grads(gs, S, D, F)
+        else:
+            g, gs = _folded_bwd1_call(
+                x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
+                seed_arr, S=S, D=D, F=F, rate=rate,
+                t_stream=t * n_tiles, tile_g=tile_g, interpret=interpret)
+            reduced = _reduce_folded_grads(gs, S, D, F)
         ts = t % stored
         for j, dg in enumerate(reduced):
             acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
@@ -727,15 +1057,18 @@ def _folded_sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref,
     kernels: sampler on ``T·n_tiles + i``) + folded layer stack; with
     ``stored_res`` also writes the folded residuals for the stored bwd."""
     const = tuple(r[:] for r in refs[:n_const])
-    k0 = n_const + T * n_p
-    out_ref = refs[k0]
+    c0sel = tuple(r[:] for r in refs[n_const:n_const + 5])
+    kp = n_const + 5
+    k0 = kp + T * n_p
+    extras = tuple(r[:] for r in refs[k0:k0 + 4])
+    out_ref = refs[k0 + 4]
     if stored_res:
-        x0_ref = refs[k0 + 1]
+        x0_ref = refs[k0 + 5]
         n_saved = max(T - 1, 0)
-        saved_refs = refs[k0 + 2:k0 + 2 + n_saved]
-        qkv_refs = refs[k0 + 2 + n_saved:k0 + 2 + n_saved + T]
-        attn_refs = refs[k0 + 2 + n_saved + T:k0 + 2 + n_saved + 2 * T]
-        strip_refs = refs[k0 + 2 + n_saved + 2 * T:]
+        saved_refs = refs[k0 + 6:k0 + 6 + n_saved]
+        qkv_refs = refs[k0 + 6 + n_saved:k0 + 6 + n_saved + T]
+        attn_refs = refs[k0 + 6 + n_saved + T:k0 + 6 + n_saved + 2 * T]
+        strip_refs = refs[k0 + 6 + n_saved + 2 * T:]
     i = pl.program_id(0)
     G = tag_rows_ref.shape[0]
 
@@ -770,9 +1103,16 @@ def _folded_sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref,
             saved_refs[t - 1][:] = h.astype(saved_refs[t - 1].dtype)
         if rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + t * pl.num_programs(0) + i)
-        p = tuple(r[:] for r in refs[n_const + t * n_p:
-                                     n_const + (t + 1) * n_p])
-        if stored_res:
+        p = tuple(r[:] for r in refs[kp + t * n_p:kp + (t + 1) * n_p])
+        if t == T - 1:
+            h, res = _folded_layer_fwd_slot0(h, const, c0sel, p, extras,
+                                             S=S, D=D, rate=rate, mm=mm,
+                                             want_res=stored_res)
+            if stored_res:
+                qkv_refs[t][:] = res["qkv"]
+                attn_refs[t][:] = res["attn0"]
+                strip_refs[t][:] = res["strip"]
+        elif stored_res:
             h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D,
                                            rate=rate, mm=mm)
             qkv_refs[t][:] = res["qkv"]
@@ -780,7 +1120,7 @@ def _folded_sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref,
             strip_refs[t][:] = res["strip"]
         else:
             h = _folded_layer_fwd(h, const, p, S=S, D=D, rate=rate, mm=mm)
-    out_ref[:] = h[:, :D].astype(out_ref.dtype)
+    out_ref[:] = h.astype(out_ref.dtype)  # [Gt, D] slot-0 output
 
 
 def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
@@ -813,7 +1153,16 @@ def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
     def rowspec(w):
         return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
 
+    c0 = tuple(jnp.asarray(c) for c in folded_slot0_selectors(S, D))
+    extras = _slot0_extras(params, T - 1, stored)
     flat_p = [a for lp in layer_ps for a in lp]
+
+    def attn_w(t):
+        return S if t == T - 1 else S * S
+
+    def strip_w(t):
+        return 6 * D if t == T - 1 else 6 * W
+
     out_specs = [rowspec(D)]
     out_shape = [jax.ShapeDtypeStruct((n_pad, D), jnp.float32)]
     if stored_res:
@@ -821,8 +1170,8 @@ def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
             [rowspec(W)]                                   # x0 folded
             + [rowspec(W) for _ in range(n_saved)]
             + [rowspec(3 * W) for _ in range(T)]
-            + [rowspec(S * S) for _ in range(T)]
-            + [rowspec(6 * W) for _ in range(T)]
+            + [rowspec(attn_w(t)) for t in range(T)]
+            + [rowspec(strip_w(t)) for t in range(T)]
         )
         out_shape += (
             [jax.ShapeDtypeStruct((n_pad, W), jnp.bfloat16)]
@@ -830,10 +1179,10 @@ def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
                for _ in range(n_saved)]
             + [jax.ShapeDtypeStruct((n_pad, 3 * W), jnp.float32)
                for _ in range(T)]
-            + [jax.ShapeDtypeStruct((n_pad, S * S), jnp.float32)
-               for _ in range(T)]
-            + [jax.ShapeDtypeStruct((n_pad, 6 * W), jnp.float32)
-               for _ in range(T)]
+            + [jax.ShapeDtypeStruct((n_pad, attn_w(t)), jnp.float32)
+               for t in range(T)]
+            + [jax.ShapeDtypeStruct((n_pad, strip_w(t)), jnp.float32)
+               for t in range(T)]
         )
     outs = pl.pallas_call(
         functools.partial(_folded_sampled_fwd_kernel, S=S, D=D, C=C, T=T,
@@ -845,12 +1194,13 @@ def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
                   pl.BlockSpec((tile_g, 1), lambda i: (i, 0)),
                   pl.BlockSpec((tile_g, 1), lambda i: (i, 0)),
                   full(rep), full(bd_code)]
-        + [full(c) for c in consts] + [full(a) for a in flat_p],
+        + [full(c) for c in consts] + [full(c) for c in c0]
+        + [full(a) for a in flat_p] + [full(a) for a in extras],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(_seed_arr(seed), tag_rows, deg, self_tag, rep, bd_code, *consts,
-      *flat_p)
+      *c0, *flat_p, *extras)
     if not stored_res:
         return outs[0][:n] if isinstance(outs, (list, tuple)) else outs[:n]
     out = outs[0][:n]
@@ -896,18 +1246,28 @@ def _folded_sampled_bwd_rule(S, T, rate, tile_g, interpret, res, dout):
     g_pad = x0.shape[0]
     n_tiles = g_pad // tile_g
     consts = tuple(jnp.asarray(c) for c in folded_selectors(S, D))
+    c0 = tuple(jnp.asarray(c) for c in folded_slot0_selectors(S, D))
+    extras = _slot0_extras(params, T - 1, stored)
     seed_arr = _seed_arr(seed)
+    # dout [G, D], padded on rows only (slot0 last-layer backward)
     g = jnp.pad(dout.astype(jnp.float32),
-                ((0, g_pad - dout.shape[0]), (0, W - D)))
+                ((0, g_pad - dout.shape[0]), (0, 0)))
     acc = [[None] * 12 for _ in range(stored)]
     for t in range(T - 1, -1, -1):
         x_t = x0 if t == 0 else saved[t - 1]
         layer_p = _fold_params(params, t, stored, S)
-        g, gs = _folded_bwd1_call(
-            x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
-            seed_arr, S=S, D=D, F=F, rate=rate, t_stream=t * n_tiles,
-            tile_g=tile_g, interpret=interpret)
-        reduced = _reduce_folded_grads(gs, S, D, F)
+        if t == T - 1:
+            g, gs = _folded_bwd0_call(
+                x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
+                c0, extras, seed_arr, S=S, D=D, F=F, rate=rate,
+                t_stream=t * n_tiles, tile_g=tile_g, interpret=interpret)
+            reduced = _reduce_slot0_grads(gs, S, D, F)
+        else:
+            g, gs = _folded_bwd1_call(
+                x_t, qkvs[t], attns[t], strips[t], g, layer_p, consts,
+                seed_arr, S=S, D=D, F=F, rate=rate, t_stream=t * n_tiles,
+                tile_g=tile_g, interpret=interpret)
+            reduced = _reduce_folded_grads(gs, S, D, F)
         ts = t % stored
         for j, dg in enumerate(reduced):
             acc[ts][j] = dg if acc[ts][j] is None else acc[ts][j] + dg
