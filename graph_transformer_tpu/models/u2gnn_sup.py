@@ -142,12 +142,11 @@ class U2GNNSup:
                     folded_u2gnn_encoder_sampled,
                 )
 
-                # tile: 192 at the bench width (256 is ~3% faster in
-                # isolation but lands over the scoped-VMEM limit inside
-                # the train scan); 128 at wider folds (MUTAG D=7 — the
-                # bwd is within 1 MB of the limit at 192)
+                # tile: 256 at the bench width (the slot0 last layer
+                # freed enough scoped VMEM for it in-scan; 320 still
+                # OOMs); 128 at wider folds (MUTAG D=7)
                 S_ = batch.neigh.shape[1]
-                tile = 192 if S_ * codebook.shape[1] <= 40 else 128
+                tile = 256 if S_ * codebook.shape[1] <= 40 else 128
                 out = folded_u2gnn_encoder_sampled(
                     tag_rows, degb, self_tag, codebook, stacked, seed,
                     S_, cfg.num_timesteps, 0.5, tile,
