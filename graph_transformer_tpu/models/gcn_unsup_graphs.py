@@ -103,6 +103,7 @@ class GCNGraphUnsup:
         neigh_global=None,  # unused; trainer-interface compatibility
         num_total_nodes=None,  # unused; trainer-interface compatibility
         vocab_perm: Optional[jax.Array] = None,  # id-symmetric protocol
+        sampled_inputs=None,  # unused; trainer-interface compatibility
     ) -> jax.Array:
         z = self.encode(params, batch, rng=rng)
         labels = batch.node_gidx

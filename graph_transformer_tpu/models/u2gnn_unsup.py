@@ -115,6 +115,8 @@ class U2GNNUnsup:
         neigh_feat: Optional[jax.Array] = None,  # [N_pad, K+1, D] precomputed
         neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
         num_total_nodes: Optional[int] = None,  # dataset size (fast path)
+        sampled_inputs: Optional[tuple] = None,  # (tag_rows, deg,
+        #                                           self_tag, codebook)
     ) -> jax.Array:
         """Per-node representation: [N_pad, k·D] (concat) or [N_pad, D].
 
@@ -125,6 +127,60 @@ class U2GNNUnsup:
         scratch (ops.sparse.global_regather) on the fast path, or by the
         batch-local ``batch.neigh`` otherwise."""
         cfg = self.cfg
+        if sampled_inputs is not None:
+            # Fully-fused sample+gather+encode (mirrors U2GNNSup.apply):
+            # the kernel's slot-0 output IS the per-node embedding for the
+            # single-layer concat head the unsup protocol uses.
+            assert (len(params.encoders) == 1 and self.head == "concat"
+                    and cfg.recurrence == "basic" and cfg.num_heads == 1
+                    and cfg.attention_axis == "neighborhood")
+            enc = params.encoders[0]
+            if rng is not None:
+                rng, r_enc = jax.random.split(rng)
+                seed = jax.random.randint(r_enc, (1,), 0, 2**31 - 1,
+                                          jnp.int32)
+                rate = 0.5  # reference-hardcoded encoder dropout
+            else:
+                seed, rate = None, 0.0
+            stacked = (
+                enc.w_in, enc.b_in, enc.w_out, enc.b_out,
+                enc.ln1_scale, enc.ln1_bias,
+                enc.w_ff1, enc.b_ff1, enc.w_ff2, enc.b_ff2,
+                enc.ln2_scale, enc.ln2_bias,
+            )
+            tag_rows, degb, self_tag, codebook = sampled_inputs
+            S_ = batch.neigh.shape[1]
+            from graph_transformer_tpu.ops.pallas_folded import (
+                folded_shape_ok,
+            )
+
+            if cfg.use_folded and folded_shape_ok(S_, codebook.shape[1]):
+                from graph_transformer_tpu.ops.pallas_folded import (
+                    folded_u2gnn_encoder_sampled,
+                )
+
+                tile = 256 if S_ * codebook.shape[1] <= 40 else 128
+                return folded_u2gnn_encoder_sampled(
+                    tag_rows, degb, self_tag, codebook, stacked, seed,
+                    S_, cfg.num_timesteps, rate, tile,
+                )
+            if cfg.use_stored_bwd or cfg.use_folded:
+                from graph_transformer_tpu.ops.pallas_stored_bwd import (
+                    fused_u2gnn_encoder_sampled_stored,
+                )
+
+                return fused_u2gnn_encoder_sampled_stored(
+                    tag_rows, degb, self_tag, codebook, stacked, seed,
+                    S_, cfg.num_timesteps, rate,
+                )
+            from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                fused_u2gnn_encoder_sampled,
+            )
+
+            return fused_u2gnn_encoder_sampled(
+                tag_rows, degb, self_tag, codebook, stacked, seed,
+                S_, cfg.num_timesteps, rate,
+            )
         if neigh_feat is None:
             x = batch.x.astype(jnp.dtype(cfg.compute_dtype))
             neigh_feat = x[batch.neigh]
@@ -212,6 +268,7 @@ class U2GNNUnsup:
         neigh_global: Optional[jax.Array] = None,  # [N_pad, K+1] global ids
         num_total_nodes: Optional[int] = None,
         vocab_perm: Optional[jax.Array] = None,  # [N_total] permutation π
+        sampled_inputs: Optional[tuple] = None,  # fused sample+encode path
     ) -> jax.Array:
         """Scalar training loss (sum of per-node sampled-softmax logits, the
         reference's objective ``loss = torch.sum(logits)``,
@@ -227,6 +284,7 @@ class U2GNNUnsup:
         z = self.encode(
             params, batch, rng=rng, neigh_feat=neigh_feat,
             neigh_global=neigh_global, num_total_nodes=num_total_nodes,
+            sampled_inputs=sampled_inputs,
         )
         if cfg.loss_type == "default":
             if rng is not None:

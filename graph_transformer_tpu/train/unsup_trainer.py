@@ -75,6 +75,7 @@ class UnsupTrainer:
         # the 128-lane gather width.  Deeper stacks re-gather between layers
         # through a global scratch (ops.sparse.global_regather).
         self.nbr_table = None
+        self._tag_table = None
         if (
             cfg.train.on_device_sampling
             and cfg.model.model != "gcn_unsup"
@@ -87,6 +88,23 @@ class UnsupTrainer:
                 self._x_global = jnp.asarray(
                     ds.node_feat, jnp.dtype(cfg.model.compute_dtype)
                 )
+                # Fully-fused sample+gather+encode (mirrors SupTrainer):
+                # one kernel samples, rebuilds codebook features in VMEM,
+                # and runs the encoder — the unsup z IS its slot-0 output
+                from graph_transformer_tpu.ops.pallas_sampled_encoder import (
+                    fused_gate_ok,
+                    setup_fused_tables,
+                )
+
+                if (fused_gate_ok(cfg.model)
+                        and cfg.model.loss_type == "default"
+                        and cfg.model.sampler_type != "neighbor"):
+                    ft = setup_fused_tables(ds.node_feat, tb)
+                    if ft is not None:
+                        tag_tb, tags, codebook = ft
+                        self._tag_table = jnp.asarray(tag_tb)
+                        self._tags_dev = jnp.asarray(tags)
+                        self._codebook = jnp.asarray(codebook)
         self._key = jax.random.key(cfg.train.seed + 1)
         self.epoch_losses: List[float] = []
         self.lr_scale = 1.0
@@ -119,35 +137,48 @@ class UnsupTrainer:
         nbr_table = self.nbr_table
         deg_dev = getattr(self, "_deg_dev", None)
         x_global = getattr(self, "_x_global", None)
+        fused_sampling = self._tag_table is not None
+        tag_table = self._tag_table
+        tags_dev = getattr(self, "_tags_dev", None)
+        codebook = getattr(self, "_codebook", None)
 
         def _resample(b, k_samp, csr):
-            """(batch, neigh_feat, neigh_global) with fresh neighborhoods —
-            the fast path samples global ids in one Pallas pass and gathers
-            features from the global table (see SupTrainer._resample)."""
+            """(batch, neigh_feat, neigh_global, sampled_inputs) with fresh
+            neighborhoods — the fast path samples global ids in one Pallas
+            pass; the fused path defers sampling INTO the encoder kernel
+            (see SupTrainer)."""
             if not on_dev:
-                return b, None, None
+                return b, None, None, None
+            if fused_sampling:
+                si = (
+                    tag_table[b.node_gidx],
+                    deg_dev[b.node_gidx][:, None],
+                    tags_dev[b.node_gidx][:, None],
+                    codebook,
+                )
+                return b, None, None, si
             if fast:
                 seed = jax.random.randint(k_samp, (1,), 0, 2**31 - 1, jnp.int32)
                 neigh_g = resample_batch_neighbors_fast(
                     seed, nbr_table[b.node_gidx], deg_dev[b.node_gidx][:, None],
                     b.node_gidx, K,
                 )
-                return b, x_global[neigh_g], neigh_g
+                return b, x_global[neigh_g], neigh_g, None
             neigh = resample_batch_neighbors(
                 k_samp, csr, b.node_gidx, b.node_mask, K, total_nodes
             )
-            return dataclasses.replace(b, neigh=neigh), None, None
+            return dataclasses.replace(b, neigh=neigh), None, None, None
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _train_step(params, opt_state, batch: GraphBatch, key, csr):
             k_samp, k_cand, k_drop = jax.random.split(key, 3)
-            batch, nf, ng = _resample(batch, k_samp, csr)
+            batch, nf, ng, si = _resample(batch, k_samp, csr)
 
             def loss_fn(p):
                 return model.loss(
                     p, batch, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
                     neigh_global=ng, num_total_nodes=total_nodes,
-                    vocab_perm=vocab_perm,
+                    vocab_perm=vocab_perm, sampled_inputs=si,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -166,13 +197,13 @@ class UnsupTrainer:
                 b, i = inp
                 step_key = jax.random.fold_in(key, i)
                 k_samp, k_cand, k_drop = jax.random.split(step_key, 3)
-                b, nf, ng = _resample(b, k_samp, csr)
+                b, nf, ng, si = _resample(b, k_samp, csr)
 
                 def loss_fn(pp):
                     return model.loss(
                         pp, b, k_cand, spec, rng=k_drop, csr=csr, neigh_feat=nf,
                         neigh_global=ng, num_total_nodes=total_nodes,
-                        vocab_perm=vocab_perm,
+                        vocab_perm=vocab_perm, sampled_inputs=si,
                     )
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)

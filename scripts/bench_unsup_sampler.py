@@ -38,12 +38,12 @@ def main():
         train=TrainConfig(num_epochs=1),
     )
 
-    def run(tag, force_slow):
+    def run(tag, force_slow, use_cfg=None):
         orig = ut.build_neighbor_table
         if force_slow:
             ut.build_neighbor_table = lambda _ds: None
         try:
-            tr = ut.UnsupTrainer(ds, cfg)
+            tr = ut.UnsupTrainer(ds, use_cfg or cfg)
         finally:
             ut.build_neighbor_table = orig
         print(f"{tag}: fast={tr.nbr_table is not None}")
@@ -65,6 +65,14 @@ def main():
 
     run("slow (XLA CSR)", True)
     run("fast (pallas) ", False)
+    # round-5: fused sample+gather+encode with the folded encoder — the
+    # unsup z is the kernel's slot-0 output
+    import dataclasses as _dc
+
+    fused_cfg = cfg.replace(model=_dc.replace(
+        cfg.model, use_pallas_whole_encoder=True, use_fused_sampler=True,
+        use_stored_bwd=True, use_folded=True))
+    run("fused+folded  ", False, fused_cfg)
 
 
 if __name__ == "__main__":
