@@ -58,6 +58,10 @@ def main():
     # hub-subsample sampler rows instead of the friendlier plain-BA tail
     # (VERDICT r4 weak #2).  The headline metric stays the plain variant.
     heavy = os.environ.get("GT_BENCH_HEAVY", "0") == "1"
+    if heavy:
+        # the heavy batch's larger grid tips the folded tile-256 schedule
+        # ~1.2 MB over the scoped-VMEM limit; 192 fits
+        os.environ.setdefault("GT_FOLDED_TILE", "192")
     ds = synthetic_powerlaw_dataset(
         "REDDITMULTI5K-heavy" if heavy else "REDDITMULTI5K-like",
         num_graphs=64, mean_nodes=509, seed=0, heavy_tail=heavy,

@@ -144,9 +144,14 @@ class U2GNNSup:
 
                 # tile: 256 at the bench width (the slot0 last layer
                 # freed enough scoped VMEM for it in-scan; 320 still
-                # OOMs); 128 at wider folds (MUTAG D=7)
+                # OOMs); 128 at wider folds (MUTAG D=7).  GT_FOLDED_TILE
+                # overrides (the heavy-tail bench needs 192 - its larger
+                # grid tips the 256 schedule 1.2 MB over the limit).
+                import os as _os
+
                 S_ = batch.neigh.shape[1]
                 tile = 256 if S_ * codebook.shape[1] <= 40 else 128
+                tile = int(_os.environ.get("GT_FOLDED_TILE", tile))
                 out = folded_u2gnn_encoder_sampled(
                     tag_rows, degb, self_tag, codebook, stacked, seed,
                     S_, cfg.num_timesteps, 0.5, tile,
