@@ -15,7 +15,12 @@ shrinks the attention tensors 56×:
     ctx    [G, 36]   = (attn@A_e ⊙ v@E_k) @ R_c
     LN               = block-mean matmul (M_mean) + rsqrt, all in-lane
     FFN    [G, S·F]  = y1 @ blockdiag(w1)        (inflated 9×, but the 9×
-                       lane-packing gain cancels it — measured-neutral)
+                       lane-packing gain cancels it — measured-neutral;
+                       pre-chunked over the hidden lanes for VMEM)
+    last layer       = slot0-only: scores [G, S], single-block softmax,
+                       ctx [G, D], raw [D, F] FFN — S× less work for the
+                       one row that is consumed (its backward is a
+                       dedicated [G, D]-space kernel)
 
 The expand/reduce selector matrices are 0/1 constants built once on the
 host; every op is either an MXU contraction or a [G, ≤324]-lane VPU op.
@@ -24,7 +29,12 @@ exact for every 9-block's softmax); LN uses the same eps as the row-space
 kernel.  Dropout shapes differ from the row-space kernel ([G, 81] vs
 [R, R] etc.), so rate>0 runs are a different (equally valid) PRNG stream.
 
-Measured A/B: scripts/bench_folded.py -> runs/folded_ab.json.
+Measured A/B (scripts/bench_folded.py -> runs/folded_ab.json): encoder
+grad loop at bench shapes 7.53 (row-space stored) -> 3.83 ms/step;
+bench.py 3.76M -> 8.1M edges/s/chip across round 5.  CV accuracy gate:
+MUTAG 10-fold gap vs XLA-f32 = 0.0000 (runs/hybrid_parity_r3.json
+'+folded').  Shape gate: ``folded_shape_ok`` (selector constants scale
+as S²·D); the row-space stored path is the fallback.
 """
 
 from __future__ import annotations

@@ -118,3 +118,33 @@ def test_folded_grad_dx_matches_reference():
     np.testing.assert_allclose(np.asarray(gxf, np.float32),
                                np.asarray(gxr, np.float32),
                                rtol=0.15, atol=0.15)
+
+
+def test_unsup_fused_folded_loss_runs_on_tpu():
+    """The unsup trainer's fused sampled path (round 5): loss finite and
+    the embedding table trains; TPU-gated (the sampler needs the on-core
+    PRNG)."""
+    from graph_transformer_tpu.ops.pallas_ffn import on_tpu
+
+    if not on_tpu():
+        pytest.skip("sampler needs the TPU PRNG")
+    from graph_transformer_tpu.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+    )
+    from graph_transformer_tpu.data.tu import load_tu_dataset
+    from graph_transformer_tpu.train.unsup_trainer import UnsupTrainer
+
+    ds = load_tu_dataset("MUTAG")
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, num_neighbors=4),
+        model=ModelConfig(num_timesteps=1, num_hidden_layers=1,
+                          ff_hidden_size=64, sampled_num=32,
+                          use_pallas=True, use_pallas_whole_encoder=True,
+                          use_fused_sampler=True, use_folded=True,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(num_epochs=1),
+    )
+    tr = UnsupTrainer(ds, cfg)
+    assert tr._tag_table is not None
+    loss = tr.train_epoch()
+    assert np.isfinite(loss)
