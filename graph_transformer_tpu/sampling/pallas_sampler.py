@@ -35,12 +35,12 @@ list, every draw is marginally uniform over the true list.  What changes
 vs the exact semantics is only inter-draw correlation: within one table
 refresh, draws for a hub land in its 128-entry subsample (self-correlated
 across steps).  Hubs are a vanishing fraction of a power-law graph's
-nodes (0.1% on the heavy-tail bench graph).  The subsample re-draws per
-TRAINER CONSTRUCTION (each CV fold's runner rebuilds its tables, so every
-fold sees a fresh draw); ``refresh_hub_rows`` re-draws rows for custom
-loops that hold one table longer — note the jitted train steps capture
-the device table at build time, so a refresh requires rebuilding the
-step (or passing the table as an argument).  Measured: heavy-tail bench
+nodes (0.1% on the heavy-tail bench graph).  The subsample is seeded by
+``cfg.train.seed`` at trainer construction — one draw per run, fresh
+across seeds; ``refresh_hub_rows`` re-draws rows for custom loops — note
+the jitted train steps capture the device table at build time, so a
+refresh requires rebuilding the step (or passing the table as an
+argument).  Measured: heavy-tail bench
 variant in ``runs/heavy_tail_bench.json``.
 """
 
@@ -96,9 +96,10 @@ def refresh_hub_rows(
 ) -> np.ndarray:
     """Re-draw the 128-subsample rows of hub nodes (degree > 128) in a COPY
     of ``table`` (non-hub rows untouched; no-op when the dataset has no
-    hubs).  For custom long-lived loops: the built-in trainers capture the
-    device table in their jitted steps at construction, so they get a
-    fresh draw per trainer/fold build rather than per epoch."""
+    hubs).  For custom long-lived loops: the built-in trainers capture
+    the device table in their jitted steps at construction (one draw per
+    run, seeded by cfg.train.seed), so use this only with re-built or
+    table-as-argument steps."""
     hubs = np.flatnonzero(ds.degrees > TABLE_WIDTH)
     if hubs.size == 0:
         return table

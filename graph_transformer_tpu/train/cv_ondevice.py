@@ -149,7 +149,7 @@ def run_cv_on_device(
     # PRNG+lane-gather sampling of global ids + global feature gather.
     nbr_table = deg_dev = x_global = None
     if jax.default_backend() == "tpu":
-        tb = build_neighbor_table(ds)
+        tb = build_neighbor_table(ds, hub_seed=cfg.train.seed)
         if tb is not None:
             nbr_table = jnp.asarray(tb)
             deg_dev = jnp.asarray(ds.degrees, jnp.int32)

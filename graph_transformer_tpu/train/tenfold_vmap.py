@@ -203,7 +203,7 @@ class TenfoldVmapRunner:
         # gathers; features come pre-gathered from the global table.
         self.nbr_table = None
         if on_dev and jax.default_backend() == "tpu":
-            tb = build_neighbor_table(ds)
+            tb = build_neighbor_table(ds, hub_seed=cfg.train.seed)
             if tb is not None:
                 self.nbr_table = jnp.asarray(tb)
                 self._deg_dev = jnp.asarray(ds.degrees, jnp.int32)

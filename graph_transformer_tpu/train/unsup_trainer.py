@@ -81,7 +81,7 @@ class UnsupTrainer:
             and cfg.model.model != "gcn_unsup"
             and jax.default_backend() == "tpu"
         ):
-            tb = build_neighbor_table(ds)
+            tb = build_neighbor_table(ds, hub_seed=cfg.train.seed)
             if tb is not None:
                 self.nbr_table = jnp.asarray(tb)
                 self._deg_dev = jnp.asarray(ds.degrees, jnp.int32)
