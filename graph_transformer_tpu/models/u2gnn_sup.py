@@ -161,10 +161,13 @@ class U2GNNSup:
                     fused_u2gnn_encoder_sampled_stored,
                 )
 
+                # tile 384 fits D<=19 (PTC); wide feature dims (IMDB
+                # degree tags, D=65) need 256 (VMEM scales with D)
                 out = fused_u2gnn_encoder_sampled_stored(
                     tag_rows, degb, self_tag, codebook, stacked, seed,
                     batch.neigh.shape[1], cfg.num_timesteps, 0.5,
-                )  # [N_pad, D] f32 (stored-residual bwd, tile 384)
+                    384 if codebook.shape[1] <= 32 else 192,
+                )  # [N_pad, D] f32 (stored-residual bwd)
             else:
                 out = fused_u2gnn_encoder_sampled(
                     tag_rows, degb, self_tag, codebook, stacked, seed,

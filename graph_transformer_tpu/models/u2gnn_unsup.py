@@ -172,6 +172,7 @@ class U2GNNUnsup:
                 return fused_u2gnn_encoder_sampled_stored(
                     tag_rows, degb, self_tag, codebook, stacked, seed,
                     S_, cfg.num_timesteps, rate,
+                    384 if codebook.shape[1] <= 32 else 192,
                 )
             from graph_transformer_tpu.ops.pallas_sampled_encoder import (
                 fused_u2gnn_encoder_sampled,

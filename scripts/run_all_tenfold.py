@@ -49,13 +49,26 @@ CONFIGS = {
 }
 
 
-def run_one(name: str, runner: str, num_epochs: int, out: str) -> None:
-    """Run one dataset's full CV and append the result line to ``out``."""
+def run_one(name: str, runner: str, num_epochs: int, out: str,
+            kernels: str = "xla") -> None:
+    """Run one dataset's full CV and append the result line to ``out``.
+
+    ``kernels='bench'``: the shipped fast-path configuration (bf16 Pallas
+    hybrid + fused sampler + stored-residual backward; folded is left off
+    because the fold-VMAPPED runner exceeds scoped VMEM with it at D>4 —
+    the folded kernel's own CV gate runs sequentially in
+    scripts/hybrid_cv_parity.py --folded)."""
     K, T, B = CONFIGS[name]
+    mkw = {}
+    if kernels == "bench":
+        mkw = dict(use_pallas=True, use_pallas_whole_encoder=True,
+                   use_fused_sampler=True, use_stored_bwd=True,
+                   compute_dtype="bfloat16")
     cfg = ExperimentConfig(
         data=DataConfig(dataset=name, batch_size=B, num_neighbors=K),
         model=ModelConfig(
-            num_timesteps=T, num_hidden_layers=1, ff_hidden_size=1024
+            num_timesteps=T, num_hidden_layers=1, ff_hidden_size=1024,
+            **mkw,
         ),
         train=TrainConfig(learning_rate=5e-4, num_epochs=num_epochs),
     )
@@ -79,6 +92,7 @@ def run_one(name: str, runner: str, num_epochs: int, out: str) -> None:
         "batch": B,
         "epochs": num_epochs,
         "runner": runner,
+        "kernels": kernels,
         "wall_s": round(time.time() - t1, 1),
     }
     with open(out, "a") as f:
@@ -118,11 +132,15 @@ def main():
     ap.add_argument("--runner", default="ondevice", choices=["vmap", "ondevice"])
     ap.add_argument("--single", default=None, help="(internal) run one "
                     "dataset in-process and exit")
+    ap.add_argument("--kernels", default="xla", choices=["xla", "bench"],
+                    help="'bench' = the shipped fast-path kernels (bf16 "
+                         "Pallas + fused sampler + stored backward)")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
 
     if args.single:
-        run_one(args.single, args.runner, args.num_epochs, args.out)
+        run_one(args.single, args.runner, args.num_epochs, args.out,
+                kernels=args.kernels)
         return
 
     done = set()
@@ -150,7 +168,7 @@ def main():
                 _sys.executable, os.path.abspath(__file__),
                 "--single", name, "--runner", runner,
                 "--num_epochs", str(args.num_epochs),
-                "--out", args.out,
+                "--out", args.out, "--kernels", args.kernels,
             ]
             r = subprocess.run(cmd)
             if r.returncode == 0:
