@@ -121,6 +121,9 @@ def main():
             num_timesteps=T, num_hidden_layers=1, ff_hidden_size=FF,
             compute_dtype="bfloat16",
             use_pallas=os.environ.get("GT_USE_PALLAS", "1") == "1",
+            # round-5: measure the SHIPPED bench configuration
+            use_pallas_whole_encoder=True, use_fused_sampler=True,
+            use_stored_bwd=True, use_folded=True,
         ),
         train=TrainConfig(num_epochs=1),
     )
