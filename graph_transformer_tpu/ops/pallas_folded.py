@@ -60,9 +60,9 @@ from graph_transformer_tpu.ops.pallas_ffn import (
 )
 from graph_transformer_tpu.ops.pallas_u2gnn import _EPS
 
-__all__ = ["fold_rows", "folded_selectors", "folded_u2gnn_encoder",
-           "folded_u2gnn_encoder_grad", "folded_u2gnn_encoder_sampled",
-           "unfold_rows"]
+__all__ = ["fold_rows", "folded_selectors", "folded_shape_ok",
+           "folded_u2gnn_encoder", "folded_u2gnn_encoder_grad",
+           "folded_u2gnn_encoder_sampled", "unfold_rows"]
 
 # The [Gt, S·F] FFN tensors are the VMEM budget (S·F = 9216 at bench
 # shapes): process the hidden dimension in chunks.  Dropout draws one
