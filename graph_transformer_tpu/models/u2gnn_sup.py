@@ -150,7 +150,7 @@ class U2GNNSup:
                 import os as _os
 
                 S_ = batch.neigh.shape[1]
-                tile = 256 if S_ * codebook.shape[1] <= 40 else 128
+                tile = 256 if S_ * codebook.shape[1] <= 40 else 112
                 tile = int(_os.environ.get("GT_FOLDED_TILE", tile))
                 out = folded_u2gnn_encoder_sampled(
                     tag_rows, degb, self_tag, codebook, stacked, seed,

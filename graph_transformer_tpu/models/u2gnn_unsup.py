@@ -159,7 +159,7 @@ class U2GNNUnsup:
                     folded_u2gnn_encoder_sampled,
                 )
 
-                tile = 256 if S_ * codebook.shape[1] <= 40 else 128
+                tile = 256 if S_ * codebook.shape[1] <= 40 else 112
                 return folded_u2gnn_encoder_sampled(
                     tag_rows, degb, self_tag, codebook, stacked, seed,
                     S_, cfg.num_timesteps, rate, tile,

@@ -72,7 +72,14 @@ __all__ = ["fold_rows", "folded_selectors", "folded_shape_ok",
 
 
 def _ffn_chunks(S: int, D: int) -> int:
-    return 2 if S * D <= 40 else 4
+    """Slot-aligned chunk count (must divide S): the kernels CONSTRUCT
+    each chunk's blockdiag from the raw [D, F] weight in-kernel
+    (tile + iota mask — measured bit-exact on chip, vmap-safe), so a
+    chunk must cover whole slots."""
+    for c in (3, 2):
+        if S % c == 0:
+            return c
+    return 1
 
 
 def folded_shape_ok(S: int, D: int) -> bool:
@@ -174,7 +181,7 @@ def _folded_layer_fwd(x, c, p, *, S, D, rate, mm):
     keep = 1.0 - rate
     e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
     ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
-     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+     w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
 
     q = jnp.dot(x.astype(mm), bd_q.astype(mm),
                 preferred_element_type=jnp.float32) + bq_t
@@ -207,25 +214,28 @@ def _folded_layer_fwd(x, c, p, *, S, D, rate, mm):
     if rate > 0.0:
         a = a * _dropout_mask(a.shape, rate) / keep
     y1 = _ln_folded(x.astype(jnp.float32) + a, m_mean, g1_t, b1_t)
-    z = _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm)
+    z = _ffn_folded(y1, w1_raw, b1_row, w2_raw, bf2_t, rate, mm, S)
     if rate > 0.0:
         z = z * _dropout_mask(z.shape, rate) / keep
     return _ln_folded(y1 + z, m_mean, g2_t, b2_t)
 
 
-def _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm):
-    """relu-FFN over FFN_CHUNKS pre-chunked hidden blocks (one dropout
-    draw each, chunk order)."""
+def _ffn_folded(y1, w1_raw, b1_row, w2_raw, bf2_t, rate, mm, S):
+    """relu-FFN over slot-aligned hidden chunks; each chunk's blockdiag
+    weight constructs in-kernel from the raw [D, F] weight (one dropout
+    draw per chunk, chunk order)."""
     keep = 1.0 - rate
+    C = _ffn_chunks(S, y1.shape[1] // S)
     y1m = y1.astype(mm)
     z = None
-    for c in range(len(w1cs)):
+    for c in range(C):
         h = jnp.maximum(
-            jnp.dot(y1m, w1cs[c].astype(mm),
-                    preferred_element_type=jnp.float32) + bf1cs[c], 0.0)
+            jnp.dot(y1m, _bd_chunk_w1(w1_raw, S, C, c, mm),
+                    preferred_element_type=jnp.float32)
+            + _b1_chunk(b1_row, S, C, c), 0.0)
         if rate > 0.0:
             h = h * _dropout_mask(h.shape, rate) / keep
-        zc = jnp.dot(h.astype(mm), w2cs[c].astype(mm),
+        zc = jnp.dot(h.astype(mm), _bd_chunk_w2(w2_raw, S, C, c, mm),
                      preferred_element_type=jnp.float32)
         z = zc if z is None else z + zc
     return z + bf2_t
@@ -244,21 +254,12 @@ def _fold_params(params, t, stored, S):
     D = w_in.shape[0]
     wq, wk, wv = w_in[:, :D], w_in[:, D:2 * D], w_in[:, 2 * D:]
     bq, bk, bv = b_in[:D], b_in[D:2 * D], b_in[2 * D:]
-    bd_w1 = _bd(w1, S)
-    bf1 = _tile(b1, S)
-    bd_w2 = _bd(w2, S)
-    H = bd_w1.shape[1]
-    C = _ffn_chunks(S, D)
-    hc = H // C
-    w1cs = tuple(bd_w1[:, c * hc:(c + 1) * hc] for c in range(C))
-    bf1cs = tuple(bf1[:, c * hc:(c + 1) * hc] for c in range(C))
-    w2cs = tuple(bd_w2[c * hc:(c + 1) * hc, :] for c in range(C))
     return (
         _bd(wq, S), _bd(wk, S), _bd(wv, S),
         _tile(bq, S), _tile(bk, S), _tile(bv, S),
         _bd(w_out, S), _tile(b_out, S),
         _tile(ln1g, S), _tile(ln1b, S),
-    ) + w1cs + bf1cs + w2cs + (
+        w1, b1.reshape(1, -1), w2,
         _tile(b2, S), _tile(ln2g, S), _tile(ln2b, S),
     )
 
@@ -291,7 +292,7 @@ def _folded_layer_fwd_slot0(x, c, c0, p, extras, *, S, D, rate, mm,
     e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
     e_q0, r_s0, a0_sel, r_c0, p0 = c0
     ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
-     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+     w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
     w_out_raw, w1_raw, b1_raw, w2_raw = extras
 
     q = jnp.dot(x.astype(mm), bd_q.astype(mm),
@@ -345,13 +346,37 @@ def _folded_layer_fwd_slot0(x, c, c0, p, extras, *, S, D, rate, mm,
 
 
 def _unpack_folded_params(p):
-    C = (len(p) - 13) // 3
     base = p[:10]
-    w1cs = p[10:10 + C]
-    bf1cs = p[10 + C:10 + 2 * C]
-    w2cs = p[10 + 2 * C:10 + 3 * C]
-    bf2_t, g2_t, b2_t = p[10 + 3 * C:]
-    return base, w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t
+    w1_raw, b1_row, w2_raw = p[10:13]
+    bf2_t, g2_t, b2_t = p[13:16]
+    return base, w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t
+
+
+def _bd_chunk_w1(w1, S, C, c, mm):
+    """Construct chunk ``c`` of kron(I_S, w1) in-kernel: output lanes for
+    slots [c·S/C, (c+1)·S/C), shape [S·D, (S/C)·F]."""
+    D, F = w1.shape
+    sc = S // C
+    wt = jnp.tile(w1, (S, sc)).astype(mm)          # [S·D, sc·F]
+    r = jax.lax.broadcasted_iota(jnp.int32, wt.shape, 0) // D
+    col = jax.lax.broadcasted_iota(jnp.int32, wt.shape, 1) // F
+    return jnp.where(r == c * sc + col, wt, 0)
+
+
+def _bd_chunk_w2(w2, S, C, c, mm):
+    """Chunk ``c`` of kron(I_S, w2): input rows for the same slot range,
+    shape [(S/C)·F, S·D]."""
+    F, D = w2.shape
+    sc = S // C
+    wt = jnp.tile(w2, (sc, S)).astype(mm)          # [sc·F, S·D]
+    r = jax.lax.broadcasted_iota(jnp.int32, wt.shape, 0) // F
+    col = jax.lax.broadcasted_iota(jnp.int32, wt.shape, 1) // D
+    return jnp.where(c * sc + r == col, wt, 0)
+
+
+def _b1_chunk(b1_row, S, C, c):
+    """Chunk ``c`` of tile(b1, S): [1, (S/C)·F] (all slots share b1)."""
+    return jnp.tile(b1_row, (1, S // C))
 
 
 def _folded_kernel(seed_ref, x_ref, *refs, S, D, T, rate, n_const, n_p):
@@ -432,7 +457,7 @@ def _folded_layer_fwd_res(x, c, p, *, S, D, rate, mm):
     keep = 1.0 - rate
     e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
     ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
-     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+     w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
 
     q = jnp.dot(x.astype(mm), bd_q.astype(mm),
                 preferred_element_type=jnp.float32) + bq_t
@@ -464,7 +489,7 @@ def _folded_layer_fwd_res(x, c, p, *, S, D, rate, mm):
         a = a * _dropout_mask(a.shape, rate) / keep
     y1, uhat1, rstd1 = _ln_folded_res(x.astype(jnp.float32) + a, m_mean,
                                       g1_t, b1_t)
-    z = _ffn_folded(y1, w1cs, bf1cs, w2cs, bf2_t, rate, mm)
+    z = _ffn_folded(y1, w1_raw, b1_row, w2_raw, bf2_t, rate, mm, S)
     if rate > 0.0:
         z = z * _dropout_mask(z.shape, rate) / keep
     out, uhat2, rstd2 = _ln_folded_res(y1 + z, m_mean, g2_t, b2_t)
@@ -505,7 +530,7 @@ def _folded_stored_fwd_kernel(seed_ref, x_ref, *refs, S, D, T, rate,
             h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D,
                                            rate=rate, mm=mm)
             attn_refs[t][:] = res["attn"]
-        qkv_refs[t][:] = res["qkv"]
+        qkv_refs[t][:] = res["qkv"].astype(qkv_refs[t].dtype)
         strip_refs[t][:] = res["strip"]
     out_ref[:] = h.astype(out_ref.dtype)  # [Gt, D] slot-0 output
 
@@ -515,8 +540,9 @@ def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
     """Backward of one folded layer from stored residuals; the FFN hidden
     is the only recompute (one matmul) and dropout masks replay from the
     layer's PRNG stream in the forward's draw order."""
-    n_p = 13 + 3 * _ffn_chunks(S, D)
-    p = tuple(r[:] for r in refs[:n_p])
+    n_p = 18  # 16 folded params + (w1ᵀ, w2ᵀ) appended by the call
+    p = tuple(r[:] for r in refs[:16])
+    w1_T, w2_T = refs[16][:], refs[17][:]
     c = tuple(r[:] for r in refs[n_p:n_p + 7])
     dx_ref = refs[n_p + 7]
     grad_refs = refs[n_p + 8:]
@@ -528,13 +554,13 @@ def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
             ref[:] = jnp.zeros_like(ref)
 
     ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
-     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+     w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
     e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
     mm = jnp.bfloat16
     keep = 1.0 - rate
     W = S * D
     x = x_ref[:].astype(jnp.float32)
-    qkv = qkv_ref[:]
+    qkv = qkv_ref[:].astype(jnp.float32)
     q, k, v = qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:]
     attn = attn_ref[:]
     st = strip_ref[:]
@@ -580,18 +606,22 @@ def _folded_bwd_kernel(seed_ref, x_ref, qkv_ref, attn_ref, strip_ref,
     y1m = y1.astype(mm)
     dzm = dz.astype(mm)
     for cch in range(C):
-        hpre = jnp.dot(y1m, w1cs[cch].astype(mm),
-                       preferred_element_type=jnp.float32) + bf1cs[cch]
+        w1c = _bd_chunk_w1(w1_raw, S, C, cch, mm)      # [W, hc]
+        hpre = jnp.dot(y1m, w1c,
+                       preferred_element_type=jnp.float32) \
+            + _b1_chunk(b1_row, S, C, cch)
         factor = (hpre > 0.0).astype(jnp.float32)
         if rate > 0.0:
             factor = factor * m_hs[cch].astype(jnp.float32) / keep
         factor = factor.astype(mm)
         h = (hpre * factor.astype(jnp.float32)).astype(mm)
-        dh = jnp.dot(dzm, w2cs[cch].astype(mm).T,
+        # w2 chunkᵀ = chunk of kron(I, w2ᵀ) (transposed-raw passed in)
+        dh = jnp.dot(dzm, _bd_chunk_w1(w2_T, S, C, cch, mm),
                      preferred_element_type=jnp.float32).astype(mm)
         grad_refs[10 + 2 * C + cch][:] += dotT_acc(h, dz)           # bd_w2_c
         dhpre = dh * factor
-        dy1 = dy1 + jnp.dot(dhpre, w1cs[cch].astype(mm).T,
+        # w1 chunkᵀ = chunk of kron(I, w1ᵀ)
+        dy1 = dy1 + jnp.dot(dhpre, _bd_chunk_w2(w1_T, S, C, cch, mm),
                             preferred_element_type=jnp.float32)
         grad_refs[10 + cch][:] += dotT_acc(y1, dhpre)               # bd_w1_c
         grad_refs[10 + C + cch][:] += jnp.sum(
@@ -654,7 +684,7 @@ def _folded_bwd0_kernel(seed_ref, x_ref, qkv_ref, attn0_ref, strip_ref,
                         g_ref, *refs, S, D, F, rate, t_stream):
     """Backward of the slot0-only LAST layer: dout [Gt, D] in, dx
     [Gt, S·D] out.  Draw order replay: (attn0, a, h, z)."""
-    n_p = 13 + 3 * _ffn_chunks(S, D)
+    n_p = 16
     p = tuple(r[:] for r in refs[:n_p])
     c = tuple(r[:] for r in refs[n_p:n_p + 7])
     c0 = tuple(r[:] for r in refs[n_p + 7:n_p + 12])
@@ -669,7 +699,7 @@ def _folded_bwd0_kernel(seed_ref, x_ref, qkv_ref, attn0_ref, strip_ref,
             ref[:] = jnp.zeros_like(ref)
 
     ((bd_q, bd_k, bd_v, bq_t, bk_t, bv_t, bd_o, bo_t, g1_t, b1_t),
-     w1cs, bf1cs, w2cs, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
+     w1_raw, b1_row, w2_raw, bf2_t, g2_t, b2_t) = _unpack_folded_params(p)
     e_q, e_k, r_s, a_e, r_c, b_sum, m_mean = c
     e_q0, r_s0, a0_sel, r_c0, p0 = c0
     w_out_raw, w1_raw, b1_raw, w2_raw = extras
@@ -677,7 +707,7 @@ def _folded_bwd0_kernel(seed_ref, x_ref, qkv_ref, attn0_ref, strip_ref,
     keep = 1.0 - rate
     W = S * D
     x = x_ref[:].astype(jnp.float32)
-    qkv = qkv_ref[:]
+    qkv = qkv_ref[:].astype(jnp.float32)
     q, k, v = qkv[:, :W], qkv[:, W:2 * W], qkv[:, 2 * W:]
     attn0 = attn0_ref[:]
     st = strip_ref[:]
@@ -920,7 +950,7 @@ def _folded_stored_fwd_call(x2d, params, seed, S, T, rate, tile_g,
         [jax.ShapeDtypeStruct((g_pad, D), jnp.float32)]
         + [jax.ShapeDtypeStruct((g_pad, W), jnp.bfloat16)
            for _ in range(n_saved)]
-        + [jax.ShapeDtypeStruct((g_pad, 3 * W), jnp.float32)
+        + [jax.ShapeDtypeStruct((g_pad, 3 * W), jnp.bfloat16)
            for _ in range(T)]
         + [jax.ShapeDtypeStruct((g_pad, attn_w(t)), jnp.float32)
            for t in range(T)]
@@ -958,6 +988,7 @@ def _folded_bwd1_call(x_t, qkv, attn, strip, g, layer_p, consts, seed_arr,
         return pl.BlockSpec((tile_g, w), lambda i: (i, 0))
 
     gshapes = _grad_shapes(S, D, F)
+    lp = tuple(layer_p) + (layer_p[10].T, layer_p[12].T)  # + w1ᵀ, w2ᵀ
     outs = pl.pallas_call(
         functools.partial(_folded_bwd_kernel, S=S, D=D, F=F, rate=rate,
                           t_stream=t_stream),
@@ -965,12 +996,12 @@ def _folded_bwd1_call(x_t, qkv, attn, strip, g, layer_p, consts, seed_arr,
         in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0)),
                   rowspec(W), rowspec(3 * W), rowspec(S * S),
                   rowspec(6 * W), rowspec(W)]
-        + [full(a) for a in layer_p] + [full(c) for c in consts],
+        + [full(a) for a in lp] + [full(c) for c in consts],
         out_specs=[rowspec(W)] + [full(jnp.zeros(s)) for s in gshapes],
         out_shape=[jax.ShapeDtypeStruct((g_pad, W), jnp.float32)]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes],
         interpret=interpret,
-    )(seed_arr, x_t, qkv, attn, strip, g, *layer_p, *consts)
+    )(seed_arr, x_t, qkv, attn, strip, g, *lp, *consts)
     return outs[0], outs[1:]
 
 
@@ -1119,13 +1150,13 @@ def _folded_sampled_fwd_kernel(seed_ref, tag_rows_ref, deg_ref,
                                              S=S, D=D, rate=rate, mm=mm,
                                              want_res=stored_res)
             if stored_res:
-                qkv_refs[t][:] = res["qkv"]
+                qkv_refs[t][:] = res["qkv"].astype(qkv_refs[t].dtype)
                 attn_refs[t][:] = res["attn0"]
                 strip_refs[t][:] = res["strip"]
         elif stored_res:
             h, res = _folded_layer_fwd_res(h, const, p, S=S, D=D,
                                            rate=rate, mm=mm)
-            qkv_refs[t][:] = res["qkv"]
+            qkv_refs[t][:] = res["qkv"].astype(qkv_refs[t].dtype)
             attn_refs[t][:] = res["attn"]
             strip_refs[t][:] = res["strip"]
         else:
@@ -1187,7 +1218,7 @@ def _folded_sampled_fwd_call(tag_rows, deg, self_tag, codebook, params,
             [jax.ShapeDtypeStruct((n_pad, W), jnp.bfloat16)]
             + [jax.ShapeDtypeStruct((n_pad, W), jnp.bfloat16)
                for _ in range(n_saved)]
-            + [jax.ShapeDtypeStruct((n_pad, 3 * W), jnp.float32)
+            + [jax.ShapeDtypeStruct((n_pad, 3 * W), jnp.bfloat16)
                for _ in range(T)]
             + [jax.ShapeDtypeStruct((n_pad, attn_w(t)), jnp.float32)
                for t in range(T)]
